@@ -1,0 +1,60 @@
+"""End-to-end CPU oracle: FASTA -> k-mer table -> candidates -> DP -> OVL.
+
+This is the semantic anchor for the whole framework: it mirrors the
+reference's production call stack (``--calc-overlaps``,
+src/Project4.scala:56-59 -> 508-563 -> 725-790 -> 795-825) with output in
+canonical (id_a, id_b) order.
+"""
+
+from __future__ import annotations
+
+from sequence_aligner_tpu.core.records import AlignmentResult, OverlapRecord, Sequence
+from sequence_aligner_tpu.core.settings import AlignSettings
+from sequence_aligner_tpu.io.fasta import read_fasta
+from sequence_aligner_tpu.oracle.align import fast_dovetail_alignment, local_alignment
+from sequence_aligner_tpu.oracle.kmers import KmerTableOracle
+
+
+def build_table(seqs: list[Sequence], s: AlignSettings) -> KmerTableOracle:
+    table = KmerTableOracle()
+    for seq in seqs:
+        table.add_sequence(seq, s.kmer_size)
+    return table
+
+
+def oracle_alignments(
+    seqs: list[Sequence],
+    s: AlignSettings,
+    *,
+    fast_dovetail: bool = True,
+    filter_valid: bool = True,
+) -> list[AlignmentResult]:
+    """Candidate generation + per-pair DP, canonically ordered."""
+    table = build_table(seqs, s)
+    by_id = {q.id: q for q in seqs}
+    align = fast_dovetail_alignment if fast_dovetail else local_alignment
+    out = []
+    for a, b in table.candidate_pairs(s):
+        r = align(by_id[a], by_id[b], s)
+        if (not filter_valid) or r.valid(s):
+            out.append(r)
+    return out
+
+
+def oracle_overlaps(
+    path_or_seqs: str | list[Sequence],
+    s: AlignSettings,
+    *,
+    fast_dovetail: bool = True,
+) -> list[OverlapRecord]:
+    """Valid OVL records for a FASTA file or sequence list, sorted."""
+    seqs = (
+        read_fasta(path_or_seqs) if isinstance(path_or_seqs, str) else path_or_seqs
+    )
+    records = []
+    for r in oracle_alignments(seqs, s, fast_dovetail=fast_dovetail):
+        o = OverlapRecord.from_alignment(r)
+        if o.hang_valid(s):
+            records.append(o)
+    records.sort(key=OverlapRecord.sort_key)
+    return records
