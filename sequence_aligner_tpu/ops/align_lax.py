@@ -1,0 +1,375 @@
+"""Batched affine-gap DP aligners as XLA scan programs.
+
+Re-expresses the reference's per-pair aligners as row-wavefront scans
+batched over thousands of read pairs:
+
+  * ``fast_dovetail_batch`` — the two-phase banded dovetail aligner
+    (src/BioLibs.scala:373-591): phase-1 banded SW anchor, dud rule,
+    phase-2 rotated-coordinate band DP, value-based traceback with
+    M -> X -> Y branch preference, and the validity/hang predicates of
+    src/ObjectStore.scala:102-141.
+  * ``local_align_batch`` — full Smith-Waterman (src/BioLibs.scala:171-263).
+
+TPU-first design notes:
+  - rows scan over read length; the in-row affine-X recurrence
+    X_j = gE + max(c_j, X_{j-1}) is solved in closed form as a cummax of
+    (c_m - m*gE), so every row is a pure vector op over the band — no
+    sequential inner loop;
+  - the running max replicates the reference's strict-> row-major scan by
+    tracking (first row, first column) achieving each new maximum;
+  - tracebacks are step-locked scans across the whole batch (value-based
+    branch selection, exactly the reference's comparisons);
+  - everything is int32/float32, static shapes, masked tails.
+
+Semantics are validated element-for-element against oracle/align.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_NEG = jnp.int32(-(2**30))
+
+
+def _max3(a, b, c):
+    return jnp.maximum(a, jnp.maximum(b, c))
+
+
+def _gather2(mat, i, j):
+    """mat [P, R, C], i [P], j [P] -> mat[p, i[p], j[p]]."""
+    return jax.vmap(lambda m, a, b: m[a, b])(mat, i, j)
+
+
+def _row_x(c, ge, inb=None):
+    """Solve X_k = gE + max(c_k, X_{k-1}) for k = 1..W as a cummax.
+
+    c: [P, W] with c_k = max(M_{k-1}+gO, Y_{k-1}+gO, 0) (>= 0 in band).
+    inb: optional [P, W] mask of in-band columns k (1-based); out-of-band
+    columns reset the chain (their X is forced elsewhere).
+    Returns X for columns 1..W: (k+1)*gE + cummax_m<=k (c_m - m*gE).
+    """
+    w = c.shape[1]
+    m = jnp.arange(1, w + 1, dtype=jnp.int32)
+    v = c - m[None, :] * ge
+    if inb is not None:
+        v = jnp.where(inb, v, _NEG)
+    run = jax.lax.cummax(v, axis=1)
+    return (m[None, :] + 1) * ge + run
+
+
+def _phase1_fill(a_bases, b_bases, a_len, cm, gO, gE, la_max: int, w: int):
+    """Banded SW of A vs B[0:w].  Returns stored matrices [P, la_max+1, w+1]
+    and the running max/location."""
+    p = a_bases.shape[0]
+    b_pref = b_bases[:, :w].astype(jnp.int32)  # [P, w]
+    zrow = jnp.zeros((p, w + 1), jnp.int32)
+
+    def step(carry, i):
+        mp, xp, yp, best, bi, bj = carry
+        a_code = a_bases[:, i - 1].astype(jnp.int32)  # [P]
+        sub = cm[a_code[:, None], b_pref]  # [P, w]
+        m_new = jnp.concatenate(
+            [
+                jnp.zeros((p, 1), jnp.int32),
+                sub
+                + _max3(mp[:, :-1], yp[:, :-1], jnp.maximum(xp[:, :-1], 0)),
+            ],
+            axis=1,
+        )
+        y_new = jnp.concatenate(
+            [
+                jnp.zeros((p, 1), jnp.int32),
+                gE
+                + _max3(mp[:, 1:] + gO, yp[:, 1:], jnp.maximum(xp[:, 1:] + gO, 0)),
+            ],
+            axis=1,
+        )
+        c = _max3(m_new[:, :-1] + gO, y_new[:, :-1] + gO, jnp.zeros((p, w), jnp.int32))
+        x_new = jnp.concatenate(
+            [jnp.zeros((p, 1), jnp.int32), _row_x(c, gE)], axis=1
+        )
+        row_t = _max3(m_new, x_new, y_new)[:, 1:]
+        rb = jnp.max(row_t, axis=1)
+        jb = jnp.argmax(row_t == rb[:, None], axis=1).astype(jnp.int32) + 1
+        upd = (i <= a_len) & (rb > best)
+        best = jnp.where(upd, rb, best)
+        bi = jnp.where(upd, i, bi)
+        bj = jnp.where(upd, jb, bj)
+        return (m_new, x_new, y_new, best, bi, bj), (m_new, x_new, y_new)
+
+    init = (
+        zrow, zrow, zrow,
+        jnp.zeros((p,), jnp.int32), jnp.zeros((p,), jnp.int32),
+        jnp.zeros((p,), jnp.int32),
+    )
+    (mf, xf, yf, best, bi, bj), rows = jax.lax.scan(
+        step, init, jnp.arange(1, la_max + 1, dtype=jnp.int32)
+    )
+    # rows: each [la_max, P, w+1] -> [P, la_max+1, w+1] with zero row 0
+    def stack(r):
+        r = jnp.moveaxis(r, 0, 1)
+        return jnp.concatenate([jnp.zeros((p, 1, w + 1), jnp.int32), r], axis=1)
+
+    return stack(rows[0]), stack(rows[1]), stack(rows[2]), best, bi, bj
+
+
+def _traceback_moves(M, X, Y, i0, j0, active0, steps: int):
+    """Phase-1 style traceback: only coordinate moves, no char counting."""
+
+    def step(state, _):
+        i, j, active = state
+        mv, xv, yv = _gather2(M, i, j), _gather2(X, i, j), _gather2(Y, i, j)
+        mx = _max3(mv, xv, yv)
+        is_m = active & (mv == mx)
+        is_x = active & ~is_m & (xv == mx)
+        is_y = active & ~is_m & ~is_x
+        i_n = i - (is_m | is_y).astype(jnp.int32)
+        j_n = j - (is_m | is_x).astype(jnp.int32)
+        i = jnp.where(active, i_n, i)
+        j = jnp.where(active, j_n, j)
+        mv2, xv2, yv2 = _gather2(M, i, j), _gather2(X, i, j), _gather2(Y, i, j)
+        active = active & (_max3(mv2, xv2, yv2) > 0)
+        return (i, j, active), None
+
+    (i, j, _), _ = jax.lax.scan(step, (i0, j0, active0), None, length=steps)
+    return i, j
+
+
+@partial(jax.jit, static_argnames=("la_max", "lb_max", "width"))
+def fast_dovetail_batch(
+    a_bases, a_len, b_bases, b_len, *,
+    cm, gO, gE, min_identity, min_overlap, max_ignore,
+    la_max: int, lb_max: int, width: int,
+):
+    """Batched two-phase banded dovetail alignment.
+
+    a_bases [P, la_max] int8 (lead reads), b_bases [P, lb_max] int8
+    (trailing reads), lengths int32.  width is the bucket's static band
+    width (settings.band_width of the lead length class).
+
+    Returns per-pair dict: start_i/j, end_i/j, correct, error, align_len,
+    dud, valid, ahg, bhg.
+    """
+    p = a_bases.shape[0]
+    w = width
+    cm = cm.astype(jnp.int32)
+    gO = jnp.int32(gO)
+    gE = jnp.int32(gE)
+
+    dud_short = b_len < w  # reference would index past B (BioLibs.scala:418)
+
+    # ---- phase 1: banded SW anchor ----
+    M1, X1, Y1, best1, bi, bj = _phase1_fill(
+        a_bases, b_bases, a_len, cm, gO, gE, la_max, w
+    )
+    act1 = (best1 > 0) & ~dud_short
+    fi, fj = _traceback_moves(M1, X1, Y1, bi, bj, act1, la_max + w + 2)
+    dud = ~act1 | (fj != 0)
+    dove_start = fi
+    dove_len = a_len - dove_start
+    zero_row = w // 2
+
+    # ---- phase 2: rotated band DP ----
+    zrow = jnp.zeros((p, w + 1), jnp.int32)
+    ks = jnp.arange(w + 1, dtype=jnp.int32)
+
+    def step2(carry, u):
+        mp, xp, yp, best, bu, bk = carry
+        i = u + dove_start  # [P]
+        j = ks[None, :] - zero_row + u  # [P? no: [1, w+1] + broadcast
+        j = jnp.broadcast_to(j, (p, w + 1))
+        inb = (u <= dove_len)[:, None] & (j >= 1) & (j <= b_len[:, None])
+        a_code = jnp.take_along_axis(
+            a_bases.astype(jnp.int32),
+            jnp.clip(i - 1, 0, la_max - 1)[:, None], axis=1,
+        )  # [P, 1]
+        b_code = jnp.take_along_axis(
+            b_bases.astype(jnp.int32), jnp.clip(j - 1, 0, lb_max - 1), axis=1
+        )  # [P, w+1]
+        sub = cm[a_code, b_code]  # [P, w+1]
+        m_new = jnp.where(
+            inb, sub + _max3(mp, yp, jnp.maximum(xp, 0)), 0
+        )
+        shift = lambda r: jnp.concatenate([r[:, 1:], jnp.zeros((p, 1), jnp.int32)], 1)
+        y_new = jnp.where(
+            inb & (ks[None, :] != w),
+            gE + _max3(shift(mp) + gO, shift(yp), jnp.maximum(shift(xp) + gO, 0)),
+            0,
+        )
+        c = _max3(
+            m_new[:, :-1] + gO, y_new[:, :-1] + gO, jnp.zeros((p, w), jnp.int32)
+        )
+        x_band = _row_x(c, gE, inb=inb[:, 1:])
+        x_new = jnp.concatenate([jnp.zeros((p, 1), jnp.int32), x_band], axis=1)
+        x_new = jnp.where(inb & (ks[None, :] != 0), x_new, 0)
+        row_t = _max3(m_new, x_new, y_new)
+        rb = jnp.max(row_t, axis=1)
+        kb = jnp.argmax(row_t == rb[:, None], axis=1).astype(jnp.int32)
+        upd = rb > best
+        best = jnp.where(upd, rb, best)
+        bu = jnp.where(upd, u, bu)
+        bk = jnp.where(upd, kb, bk)
+        return (m_new, x_new, y_new, best, bu, bk), (m_new, x_new, y_new)
+
+    init2 = (
+        zrow, zrow, zrow,
+        jnp.zeros((p,), jnp.int32), jnp.zeros((p,), jnp.int32),
+        jnp.zeros((p,), jnp.int32),
+    )
+    (m2f, x2f, y2f, best2, bu, bk), rows2 = jax.lax.scan(
+        step2, init2, jnp.arange(1, la_max + 1, dtype=jnp.int32)
+    )
+
+    def stack(r):
+        r = jnp.moveaxis(r, 0, 1)
+        return jnp.concatenate([jnp.zeros((p, 1, w + 1), jnp.int32), r], axis=1)
+
+    M2, X2, Y2 = stack(rows2[0]), stack(rows2[1]), stack(rows2[2])
+
+    # ---- phase 2 traceback with match/error counting ----
+    act2 = (best2 > 0) & ~dud
+
+    def step_tb(state, _):
+        u, k, c, e, steps, active = state
+        mv, xv, yv = _gather2(M2, u, k), _gather2(X2, u, k), _gather2(Y2, u, k)
+        mx = _max3(mv, xv, yv)
+        is_m = active & (mv == mx)
+        is_x = active & ~is_m & (xv == mx)
+        is_y = active & ~is_m & ~is_x
+        i = u + dove_start
+        j = k - zero_row + u
+        pa = jnp.take_along_axis(
+            a_bases, jnp.clip(i - 1, 0, la_max - 1)[:, None], axis=1
+        )[:, 0]
+        pb = jnp.take_along_axis(
+            b_bases, jnp.clip(j - 1, 0, lb_max - 1)[:, None], axis=1
+        )[:, 0]
+        eq = pa == pb
+        c = c + (is_m & eq).astype(jnp.int32)
+        e = e + ((is_m & ~eq) | is_x | is_y).astype(jnp.int32)
+        steps = steps + active.astype(jnp.int32)
+        u_n = u - (is_m | is_y).astype(jnp.int32)
+        k_n = k - is_x.astype(jnp.int32) + is_y.astype(jnp.int32)
+        u = jnp.where(active, u_n, u)
+        k = jnp.where(active, k_n, k)
+        mv2, xv2, yv2 = _gather2(M2, u, k), _gather2(X2, u, k), _gather2(Y2, u, k)
+        active = active & (_max3(mv2, xv2, yv2) > 0)
+        return (u, k, c, e, steps, active), None
+
+    z = jnp.zeros((p,), jnp.int32)
+    (uf, kf, corr, err, steps, _), _ = jax.lax.scan(
+        step_tb, (bu, bk, z, z, z, act2), None, length=la_max + w + 2
+    )
+
+    dud_all = dud | (best2 <= 0)
+    start_i = uf + dove_start
+    start_j = kf - zero_row + uf
+    end_i = bu + dove_start
+    end_j = bk - zero_row + bu
+
+    # ---- validity (src/ObjectStore.scala:102-107, 137-141) ----
+    tot = (corr + err).astype(jnp.float32)
+    err_ratio = corr.astype(jnp.float32) / tot
+    ident_ok = err_ratio >= min_identity
+    len_ok = steps >= min_overlap
+    dovetail = ((start_i == 0) & (b_len == end_j)) | (
+        (start_j == 0) & (a_len == end_i)
+    )
+    ahg = start_i - start_j
+    bhg = b_len - a_len + ahg
+    hang_ok = (jnp.abs(ahg) < max_ignore) & (jnp.abs(bhg) < max_ignore)
+    valid = (
+        ~dud_all & (tot > 0) & ident_ok & len_ok & dovetail & hang_ok
+    )
+    return dict(
+        start_i=start_i, start_j=start_j, end_i=end_i, end_j=end_j,
+        correct=corr, error=err, align_len=steps, dud=dud_all,
+        valid=valid, ahg=ahg, bhg=bhg,
+        align_valid=~dud_all & (tot > 0) & ident_ok & len_ok & dovetail,
+    )
+
+
+@partial(jax.jit, static_argnames=("la_max", "lb_max"))
+def local_align_batch(
+    a_bases, a_len, b_bases, b_len, *,
+    cm, gO, gE, min_identity, min_overlap, max_ignore,
+    la_max: int, lb_max: int,
+):
+    """Batched full Smith-Waterman (the reference's --quadratic-align path,
+    src/BioLibs.scala:171-263), sharing the row-scan machinery with the
+    banded aligner (the full matrix is a band of width lb_max)."""
+    p = a_bases.shape[0]
+    w = lb_max
+    cm = cm.astype(jnp.int32)
+    gO = jnp.int32(gO)
+    gE = jnp.int32(gE)
+
+    M, X, Y, best, bi, bj = _phase1_fill(
+        a_bases, b_bases, a_len, cm, gO, gE, la_max, w
+    )
+    # mask columns beyond b_len: the reference never fills j > len(B); our
+    # fill did, so re-derive the running max restricted to valid columns.
+    cols = jnp.arange(w + 1, dtype=jnp.int32)
+    colmask = cols[None, None, :] <= b_len[:, None, None]
+    rowmask = (
+        jnp.arange(la_max + 1, dtype=jnp.int32)[None, :, None] <= a_len[:, None, None]
+    )
+    t = _max3(M, X, Y)
+    t = jnp.where(colmask & rowmask, t, _NEG)
+    t = t.at[:, 0, :].set(_NEG).at[:, :, 0].set(_NEG)
+    flat = t.reshape(p, -1)
+    best = jnp.max(flat, axis=1)
+    arg = jnp.argmax(flat == best[:, None], axis=1).astype(jnp.int32)
+    bi = arg // (w + 1)
+    bj = arg % (w + 1)
+
+    act = best > 0
+
+    def step_tb(state, _):
+        i, j, c, e, steps, active = state
+        mv, xv, yv = _gather2(M, i, j), _gather2(X, i, j), _gather2(Y, i, j)
+        mx = _max3(mv, xv, yv)
+        is_m = active & (mv == mx)
+        is_x = active & ~is_m & (xv == mx)
+        is_y = active & ~is_m & ~is_x
+        pa = jnp.take_along_axis(
+            a_bases, jnp.clip(i - 1, 0, la_max - 1)[:, None], axis=1
+        )[:, 0]
+        pb = jnp.take_along_axis(
+            b_bases, jnp.clip(j - 1, 0, lb_max - 1)[:, None], axis=1
+        )[:, 0]
+        # X consumes A's char, Y consumes B's char (gap on the other side)
+        eq = pa == pb
+        c = c + (is_m & eq).astype(jnp.int32)
+        e = e + ((is_m & ~eq) | is_x | is_y).astype(jnp.int32)
+        steps = steps + active.astype(jnp.int32)
+        i_n = i - (is_m | is_y).astype(jnp.int32)
+        j_n = j - (is_m | is_x).astype(jnp.int32)
+        i = jnp.where(active, i_n, i)
+        j = jnp.where(active, j_n, j)
+        mv2, xv2, yv2 = _gather2(M, i, j), _gather2(X, i, j), _gather2(Y, i, j)
+        active = active & (_max3(mv2, xv2, yv2) > 0)
+        return (i, j, c, e, steps, active), None
+
+    z = jnp.zeros((p,), jnp.int32)
+    (fi, fj, corr, err, steps, _), _ = jax.lax.scan(
+        step_tb, (bi, bj, z, z, z, act), None, length=la_max + lb_max + 2
+    )
+    tot = (corr + err).astype(jnp.float32)
+    err_ratio = corr.astype(jnp.float32) / tot
+    ident_ok = err_ratio >= min_identity
+    len_ok = steps >= min_overlap
+    dovetail = ((fi == 0) & (b_len == bj)) | ((fj == 0) & (a_len == bi))
+    ahg = fi - fj
+    bhg = b_len - a_len + ahg
+    hang_ok = (jnp.abs(ahg) < max_ignore) & (jnp.abs(bhg) < max_ignore)
+    valid = act & (tot > 0) & ident_ok & len_ok & dovetail & hang_ok
+    return dict(
+        start_i=fi, start_j=fj, end_i=bi, end_j=bj,
+        correct=corr, error=err, align_len=steps, dud=~act,
+        valid=valid, ahg=ahg, bhg=bhg,
+        align_valid=act & (tot > 0) & ident_ok & len_ok & dovetail,
+    )

@@ -8,12 +8,18 @@ sharding/multi-chip code paths are exercised without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# the axon harness pins jax_platforms to the TPU tunnel via sitecustomize;
+# env vars alone don't override it — force the config directly.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

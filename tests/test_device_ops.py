@@ -1,0 +1,187 @@
+"""Device-op parity tests: jitted ops vs the NumPy oracle, element-level."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sequence_aligner_tpu.core.records import Sequence
+from sequence_aligner_tpu.core.settings import AlignSettings
+from sequence_aligner_tpu.io.fasta import read_fasta
+from sequence_aligner_tpu.models.overlapper import Overlapper
+from sequence_aligner_tpu.ops.align_lax import fast_dovetail_batch, local_align_batch
+from sequence_aligner_tpu.ops.encode import decode_read, encode_reads, pack_2bit, unpack_2bit
+from sequence_aligner_tpu.ops.kmer import kmer_scan
+from sequence_aligner_tpu.oracle.align import fast_dovetail_alignment, local_alignment
+from sequence_aligner_tpu.oracle.kmers import KmerTableOracle
+
+
+def _random_reads(rng, n, length, genome_len=2000):
+    bases = "ACTG"
+    genome = "".join(bases[i] for i in rng.randint(0, 4, genome_len))
+    seqs = []
+    for i in range(n):
+        start = rng.randint(0, genome_len - length)
+        body = list(genome[start : start + length])
+        # sprinkle ~1% errors
+        for _ in range(max(1, length // 100)):
+            p = rng.randint(0, length)
+            body[p] = bases[rng.randint(0, 4)]
+        seqs.append(Sequence(i + 1, "".join(body)))
+    return seqs
+
+
+def test_encode_roundtrip():
+    seqs = [Sequence(1, "ACTGACTGAC"), Sequence(2, "GGGG")]
+    bases, lengths = encode_reads(seqs)
+    assert bases.shape == (2, 10)
+    assert lengths.tolist() == [10, 4]
+    assert decode_read(bases[0], 10) == "ACTGACTGAC"
+    assert decode_read(bases[1], 4) == "GGGG"
+    words = pack_2bit(bases)
+    back = unpack_2bit(words, 10)
+    assert (back == bases).all()
+
+
+def test_kmer_scan_matches_oracle(crp_seqs):
+    s = AlignSettings()
+    bases, lengths = encode_reads(crp_seqs)
+    ids = np.arange(1, len(crp_seqs) + 1, dtype=np.int32)
+    occ = kmer_scan(jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(ids), s.kmer_size)
+    t = KmerTableOracle()
+    for q in crp_seqs:
+        t.add_sequence(q, s.kmer_size)
+    oracle = sorted(
+        (h, rid, float(np.float32(loc)))
+        for h, lst in t.kmer_data.items()
+        for (rid, loc) in lst
+    )
+    hm, rm, lm, vm = (np.asarray(occ[k]) for k in ("hash", "read_id", "loc", "valid"))
+    dev = sorted(
+        (int(hm[i]), int(rm[i]), float(lm[i])) for i in np.nonzero(vm)[0]
+    )
+    assert dev == oracle
+
+
+def test_candidate_pairs_match_oracle(crp_seqs):
+    s = AlignSettings.amos_parity()
+    ov = Overlapper(s)
+    bases, lengths = encode_reads(crp_seqs)
+    occ = ov._occurrences(bases, lengths)
+    lead, trail = ov._candidates(occ)
+    t = KmerTableOracle()
+    for q in crp_seqs:
+        t.add_sequence(q, s.kmer_size)
+    assert sorted(zip(lead.tolist(), trail.tolist())) == t.candidate_pairs(s)
+
+
+def _batch_align(seqs, pairs, s, *, dovetail=True):
+    bases, lengths = encode_reads(seqs)
+    a_idx = np.asarray([a - 1 for a, _ in pairs])
+    b_idx = np.asarray([b - 1 for _, b in pairs])
+    kw = dict(
+        cm=jnp.asarray(s.cost_matrix), gO=s.gap_open, gE=s.gap_extend,
+        min_identity=jnp.float32(s.min_identity),
+        min_overlap=jnp.int32(s.min_overlap),
+        max_ignore=jnp.int32(s.max_ignore),
+        la_max=bases.shape[1], lb_max=bases.shape[1],
+    )
+    if dovetail:
+        w = s.band_width(int(lengths[a_idx].max()))
+        return fast_dovetail_batch(
+            jnp.asarray(bases[a_idx]), jnp.asarray(lengths[a_idx]),
+            jnp.asarray(bases[b_idx]), jnp.asarray(lengths[b_idx]),
+            width=w, **kw,
+        )
+    return local_align_batch(
+        jnp.asarray(bases[a_idx]), jnp.asarray(lengths[a_idx]),
+        jnp.asarray(bases[b_idx]), jnp.asarray(lengths[b_idx]),
+        **kw,
+    )
+
+
+def _check_pairs(seqs, pairs, s, *, dovetail):
+    res = _batch_align(seqs, pairs, s, dovetail=dovetail)
+    by_id = {q.id: q for q in seqs}
+    oracle_fn = fast_dovetail_alignment if dovetail else local_alignment
+    for n, (a, b) in enumerate(pairs):
+        o = oracle_fn(by_id[a], by_id[b], s)
+        dev_dud = bool(res["dud"][n])
+        assert dev_dud == o.dud, (a, b)
+        if o.dud:
+            assert not bool(res["valid"][n])
+            continue
+        got = (
+            int(res["start_i"][n]), int(res["start_j"][n]),
+            int(res["end_i"][n]), int(res["end_j"][n]),
+            int(res["correct"][n]), int(res["error"][n]),
+            int(res["align_len"][n]),
+        )
+        want = (*o.start, *o.end, o.correct, o.error, o.align_len)
+        assert got == want, (a, b, got, want)
+        want_valid = o.valid(s)
+        from sequence_aligner_tpu.core.records import OverlapRecord
+
+        want_ovl = want_valid and OverlapRecord.from_alignment(o).hang_valid(s)
+        assert bool(res["align_valid"][n]) == want_valid, (a, b)
+        assert bool(res["valid"][n]) == want_ovl, (a, b)
+
+
+def test_dovetail_batch_matches_oracle_random():
+    rng = np.random.RandomState(3)
+    seqs = _random_reads(rng, 40, 100)
+    pairs = [(a, b) for a in range(1, 41) for b in range(1, 41) if a != b]
+    rng.shuffle(pairs)
+    _check_pairs(seqs, pairs[:120], AlignSettings(), dovetail=True)
+
+
+def test_local_batch_matches_oracle_random():
+    rng = np.random.RandomState(4)
+    seqs = _random_reads(rng, 16, 80)
+    pairs = [(a, b) for a in range(1, 17) for b in range(1, 17) if a != b]
+    rng.shuffle(pairs)
+    _check_pairs(seqs, pairs[:40], AlignSettings(), dovetail=False)
+
+
+def test_dovetail_batch_mixed_lengths():
+    rng = np.random.RandomState(5)
+    bases = "ACTG"
+    genome = "".join(bases[i] for i in rng.randint(0, 4, 1000))
+    seqs = [
+        Sequence(1, genome[0:120]),
+        Sequence(2, genome[40:140]),
+        Sequence(3, genome[80:230]),
+        Sequence(4, genome[100:180]),
+    ]
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 4), (2, 4)]
+    # note: all lead reads here share band width 12 (k dominates)
+    _check_pairs(seqs, pairs, AlignSettings(), dovetail=True)
+
+
+def test_device_end_to_end_golden(crp_seqs):
+    """Flagship device test: full jitted pipeline reproduces the golden
+    crp177.ovl byte-for-byte."""
+    ov = Overlapper(AlignSettings.amos_parity())
+    recs = ov.run(crp_seqs)
+    ours = "".join(r.render() + "\n" for r in recs)
+    golden = open("/root/reference/amos/small/crp177.ovl").read()
+    assert ours == golden
+    assert ov.stats.n_valid == 2598
+
+
+def test_device_end_to_end_quadratic(crp_seqs, golden_records):
+    """The quadratic (full SW) path matches the SW oracle end-to-end and is
+    a superset of golden: full SW accepts reversed-direction overlaps
+    (negative hangs) that the dovetail phase-1 anchor duds out."""
+    from sequence_aligner_tpu.oracle.overlap import oracle_overlaps
+
+    s = AlignSettings.amos_parity()
+    ov = Overlapper(s, fast_dovetail=False)
+    recs = ov.run(crp_seqs)
+    want = oracle_overlaps(crp_seqs, s, fast_dovetail=False)
+    assert [
+        (r.id_a, r.id_b, r.ahg, r.bhg) for r in recs
+    ] == [(r.id_a, r.id_b, r.ahg, r.bhg) for r in want]
+    got = {(r.id_a, r.id_b) for r in recs}
+    assert {(r.id_a, r.id_b) for r in golden_records} <= got
+    extra = got - {(r.id_a, r.id_b) for r in golden_records}
+    assert len(extra) == 37  # reversed-direction overlaps SW keeps
