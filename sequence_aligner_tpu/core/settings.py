@@ -109,6 +109,14 @@ class AlignSettings:
             int(math.floor(float(np.float32(len_a) * frac))) + 1,
         )
 
+    def band_widths(self, len_a: np.ndarray) -> np.ndarray:
+        """Vectorized band_width over an int array of lead lengths."""
+        frac = np.float32(np.float32(1.0) - np.float32(self.min_identity))
+        w = np.floor(
+            (len_a.astype(np.float32) * frac).astype(np.float64)
+        ).astype(np.int32) + 1
+        return np.maximum(w, np.int32(self.kmer_size))
+
     def score(self, a: str, b: str) -> int:
         """Char-level cost lookup (oracle path)."""
         return int(self.cost_matrix[BASE_CODE[a.upper()], BASE_CODE[b.upper()]])

@@ -29,7 +29,8 @@ from sequence_aligner_tpu.io.fasta import read_fasta
 from sequence_aligner_tpu.ops.align_lax import fast_dovetail_batch, local_align_batch
 from sequence_aligner_tpu.ops.encode import encode_reads
 from sequence_aligner_tpu.ops.kmer import kmer_scan
-from sequence_aligner_tpu.ops.pairgen import candidate_pairs_device, pair_totals
+from sequence_aligner_tpu.ops.pairgen import candidate_pairs_device
+from sequence_aligner_tpu.ops.plan import plan_pair_capacities
 
 
 def _pow2_at_least(n: int, floor: int = 1024) -> int:
@@ -72,8 +73,10 @@ class Overlapper:
             self.s.kmer_size,
         )
 
-    # ---- stage 3: candidate pairs with capacity doubling ----
-    def _candidates(self, occ) -> tuple[np.ndarray, np.ndarray]:
+    # ---- stage 3: candidate pairs, capacities planned on host ----
+    def _candidates(
+        self, occ, bases: np.ndarray, lengths: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
         s = self.s
         if occ["hash"].shape[0] == 0:  # e.g. every read shorter than k
             return np.zeros(0, np.int32), np.zeros(0, np.int32)
@@ -83,10 +86,11 @@ class Overlapper:
             mid_lead=jnp.float32(s.kmer_mid_lead_edge),
             mid_tail=jnp.float32(s.kmer_mid_tail_edge),
         )
-        h_tot, t_tot = pair_totals(occ, **geom)
-        cap_h = _pow2_at_least(int(h_tot))
-        cap_t = _pow2_at_least(int(t_tot))
-        cap_out = _pow2_at_least(max(int(h_tot), int(t_tot)))
+        plan = plan_pair_capacities(bases, lengths, s)
+        cap_h = _pow2_at_least(plan["h_total"])
+        cap_t = _pow2_at_least(plan["t_total"])
+        raw = plan["h_total"] + plan["t_total"]
+        cap_out = _pow2_at_least(raw // max(s.min_collisions, 1) + 1024)
         while True:
             out = candidate_pairs_device(
                 occ, **geom,
@@ -124,13 +128,10 @@ class Overlapper:
         if npairs == 0:
             return out
         la = lengths[lead - 1]
-        widths = np.asarray([s.band_width(int(x)) for x in la], dtype=np.int32)
-        buckets: dict[int, list[int]] = defaultdict(list)
-        for idx in range(npairs):
-            buckets[int(widths[idx])].append(idx)
+        widths = s.band_widths(la)
         cm = jnp.asarray(s.cost_matrix)
-        for w, idxs in sorted(buckets.items()):
-            idxs = np.asarray(idxs, dtype=np.int64)
+        for w in np.unique(widths):
+            idxs = np.nonzero(widths == w)[0]
             bs = min(self.batch_size, _pow2_at_least(len(idxs), 256))
             for lo in range(0, len(idxs), bs):
                 chunk = idxs[lo : lo + bs]
@@ -171,9 +172,15 @@ class Overlapper:
         )
         bases, lengths = encode_reads(seqs)
         self.stats.n_reads = len(seqs)
+        # pad the read count to a power-of-two tier so device programs
+        # compile once per (N_tier, L) shape family
+        n_tier = _pow2_at_least(len(seqs), 256)
+        if n_tier > len(seqs):
+            bases = np.pad(bases, ((0, n_tier - len(seqs)), (0, 0)))
+            lengths = np.pad(lengths, (0, n_tier - len(seqs)))
         occ = self._occurrences(bases, lengths)
         self.stats.n_kmers = int(np.asarray(occ["valid"]).sum())
-        lead, trail = self._candidates(occ)
+        lead, trail = self._candidates(occ, bases, lengths)
         self.stats.n_candidate_pairs = len(lead)
         res = self._align(bases, lengths, lead, trail)
         self.stats.n_alignments = len(lead)

@@ -1,0 +1,4 @@
+from sequence_aligner_tpu.parallel.mesh import make_mesh
+from sequence_aligner_tpu.parallel.shard import make_sharded_overlap_step, sharded_overlap
+
+__all__ = ["make_mesh", "make_sharded_overlap_step", "sharded_overlap"]

@@ -1,0 +1,281 @@
+"""Sharded multi-chip overlap step (shard_map + XLA collectives).
+
+Distributed re-expression of the reference's single-JVM pipeline, per the
+BASELINE north star: reads stream data-parallel, the k-mer table is sharded
+by hash prefix via all-to-all over ICI/DCN, pair counts are reduced by
+pair-key all-to-all, and OVL records merge by gather.
+
+One step, per device, inside ``shard_map`` over a 1-D ``shard`` mesh axis:
+
+  1. local k-mer extraction on this device's read block (ops.kmer);
+  2. occurrences routed to ``hash % n_dev`` via ``lax.all_to_all`` with
+     per-destination capacity bins (overflow counted, never silent);
+  3. complete per-hash occurrence groups -> raw ordered-pair expansion
+     (ops.pairgen.expand_raw_pairs);
+  4. local pre-aggregation of pair counts, then a second all-to-all keyed
+     by pair hash so each pair's global count lands on one owner device —
+     this preserves the reference's *global* collision-band semantics
+     (src/KmerTable.scala:155-187) under sharding;
+  5. owner filters the collision band, aligns its candidate pairs against
+     an all-gathered 2-bit read block (ops.align_lax), and emits masked
+     OVL fields; host concatenates, filters, sorts canonically.
+
+All shapes static; every capacity has an explicit drop counter.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sequence_aligner_tpu.core.settings import AlignSettings
+from sequence_aligner_tpu.ops.align_lax import fast_dovetail_batch
+from sequence_aligner_tpu.ops.kmer import kmer_scan
+from sequence_aligner_tpu.ops.pairgen import (
+    aggregate_pairs, compact_pairs, expand_raw_pairs, sort_occurrences,
+)
+
+
+def _route(fields: dict, tgt, valid, n_dev: int, cap: int):
+    """Pack per-destination bins [n_dev, cap] for all_to_all.
+
+    fields: name -> [n] array.  Entries beyond a bin's capacity are
+    dropped (returned drop count).  Invalid entries are never sent.
+    """
+    n = tgt.shape[0]
+    key = jnp.where(valid, tgt, n_dev)  # invalid -> overflow bin
+    order_key, perm = jax.lax.sort(
+        (key, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    starts = jnp.searchsorted(
+        order_key, jnp.arange(n_dev, dtype=jnp.int32), side="left",
+        method="scan_unrolled",
+    )
+    pos_in_bin = jnp.arange(n, dtype=jnp.int32) - starts[jnp.clip(order_key, 0, n_dev - 1)]
+    ok = (order_key < n_dev) & (pos_in_bin < cap)
+    slot = jnp.where(ok, order_key * cap + pos_in_bin, n_dev * cap)
+    out = {}
+    for name, arr in fields.items():
+        src = arr[perm]
+        buf = jnp.zeros((n_dev * cap + 1,), src.dtype).at[slot].set(
+            jnp.where(ok, src, jnp.zeros((), src.dtype))
+        )
+        out[name] = buf[: n_dev * cap].reshape(n_dev, cap)
+    sent = jnp.zeros((n_dev * cap + 1,), jnp.bool_).at[slot].set(ok)
+    out["_sent"] = sent[: n_dev * cap].reshape(n_dev, cap)
+    dropped = jnp.sum((order_key < n_dev) & ~ok)
+    return out, dropped
+
+
+def _exchange(bins: dict, axis: str):
+    """all_to_all each field; bin row j -> device j."""
+    out = {}
+    for name, arr in bins.items():
+        out[name] = jax.lax.all_to_all(
+            arr, axis, split_axis=0, concat_axis=0, tiled=True
+        )
+    return out
+
+
+def make_sharded_overlap_step(
+    mesh: Mesh,
+    s: AlignSettings,
+    *,
+    la_max: int,
+    width: int,
+    cap_route: int,
+    cap_head: int,
+    cap_tail: int,
+    cap_agg: int,
+    cap_pair_route: int,
+    cap_out: int,
+    axis: str = "shard",
+):
+    """Build the jitted sharded step.
+
+    Returns fn(bases [N, la_max] int8, lengths [N] int32, ids [N] int32)
+    -> dict of [n_dev * cap_out] OVL fields + drop counters, where N must
+    be divisible by the mesh size.
+    """
+    n_dev = mesh.shape[axis]
+    geom = dict(
+        head_edge=jnp.float32(s.kmer_head_edge),
+        tail_edge=jnp.float32(s.kmer_tail_edge),
+        mid_lead=jnp.float32(s.kmer_mid_lead_edge),
+        mid_tail=jnp.float32(s.kmer_mid_tail_edge),
+    )
+    min_c = jnp.int32(s.min_collisions)
+    max_c = jnp.int32(s.max_collisions)
+
+    def step(bases, lengths, ids):
+        # ---- 1. local k-mers ----
+        occ = kmer_scan(bases, lengths, ids, s.kmer_size)
+
+        # ---- 2. hash-prefix all-to-all ----
+        tgt = (occ["hash"].astype(jnp.uint32) % jnp.uint32(n_dev)).astype(jnp.int32)
+        bins, drop_kmer = _route(
+            dict(hash=occ["hash"], read_id=occ["read_id"], loc=occ["loc"]),
+            tgt, occ["valid"], n_dev, cap_route,
+        )
+        recv = _exchange(bins, axis)
+        occ2 = dict(
+            hash=recv["hash"].reshape(-1),
+            read_id=recv["read_id"].reshape(-1),
+            loc=recv["loc"].reshape(-1),
+            valid=recv["_sent"].reshape(-1),
+        )
+
+        # ---- 3. raw pair expansion on complete hash groups ----
+        fst, snd, ok, h_tot, t_tot = expand_raw_pairs(
+            sort_occurrences(occ2), geom, cap_head, cap_tail
+        )
+        pair_overflow = (h_tot > cap_head) | (t_tot > cap_tail)
+
+        # ---- 4. local pre-aggregation + pair-key all-to-all ----
+        afst, asnd, acnt, afirst = aggregate_pairs(
+            fst, snd, jnp.ones_like(fst), ok
+        )
+        # keep only run representatives, re-compact to cap_agg
+        lfst, lsnd, lcnt, n_agg = compact_pairs(afst, asnd, acnt, afirst, cap_agg)
+        agg_valid = jnp.arange(cap_agg, dtype=jnp.int32) < n_agg
+        agg_overflow = n_agg > cap_agg
+        ptgt = (
+            (lfst.astype(jnp.uint32) * jnp.uint32(2654435761)
+             ^ lsnd.astype(jnp.uint32)) % jnp.uint32(n_dev)
+        ).astype(jnp.int32)
+        pbins, drop_pairs = _route(
+            dict(fst=lfst, snd=lsnd, cnt=lcnt),
+            ptgt, agg_valid, n_dev, cap_pair_route,
+        )
+        precv = _exchange(pbins, axis)
+
+        # ---- 5. owner-side global count + band filter ----
+        gfst, gsnd, gcnt, gfirst = aggregate_pairs(
+            precv["fst"].reshape(-1),
+            precv["snd"].reshape(-1),
+            precv["cnt"].reshape(-1),
+            precv["_sent"].reshape(-1),
+        )
+        keep = gfirst & (min_c <= gcnt) & (gcnt <= max_c)
+        lead, trail, _, n_out = compact_pairs(gfst, gsnd, gcnt, keep, cap_out)
+        out_valid = jnp.arange(cap_out, dtype=jnp.int32) < n_out
+        out_overflow = n_out > cap_out
+
+        # ---- 6. align owned candidates against all-gathered reads ----
+        all_bases = jax.lax.all_gather(bases, axis, axis=0, tiled=True)
+        all_lengths = jax.lax.all_gather(lengths, axis, axis=0, tiled=True)
+        a_idx = jnp.clip(lead - 1, 0, all_bases.shape[0] - 1)
+        b_idx = jnp.clip(trail - 1, 0, all_bases.shape[0] - 1)
+        res = fast_dovetail_batch(
+            all_bases[a_idx], all_lengths[a_idx],
+            all_bases[b_idx], all_lengths[b_idx],
+            cm=jnp.asarray(s.cost_matrix), gO=s.gap_open, gE=s.gap_extend,
+            min_identity=jnp.float32(s.min_identity),
+            min_overlap=jnp.int32(s.min_overlap),
+            max_ignore=jnp.int32(s.max_ignore),
+            la_max=la_max, lb_max=la_max, width=width,
+        )
+        valid = res["valid"] & out_valid
+        drops = jnp.stack(
+            [
+                drop_kmer,
+                drop_pairs,
+                pair_overflow.astype(jnp.int32),
+                agg_overflow.astype(jnp.int32),
+                out_overflow.astype(jnp.int32),
+            ]
+        )
+        return (
+            valid,
+            jnp.where(out_valid, lead, 0),
+            jnp.where(out_valid, trail, 0),
+            res["ahg"],
+            res["bhg"],
+            drops[None, :],  # [1, 5] per device -> [n_dev, 5] global
+        )
+
+    from jax.experimental.shard_map import shard_map
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_overlap(
+    seqs,
+    s: AlignSettings,
+    mesh: Mesh | None = None,
+    *,
+    caps: dict | None = None,
+):
+    """Host driver: run the sharded step and return canonical OVL records.
+
+    Capacities default to generous bounds derived from the input size; the
+    step reports drops/overflows and the driver retries doubled if any.
+    """
+    from sequence_aligner_tpu.core.records import OverlapRecord
+    from sequence_aligner_tpu.ops.encode import encode_reads
+
+    if mesh is None:
+        mesh = jax.make_mesh((len(jax.devices()),), ("shard",))
+    n_dev = mesh.shape["shard"]
+    bases, lengths = encode_reads(seqs)
+    n, l = bases.shape
+    pad = (-n) % n_dev
+    if pad:
+        bases = np.pad(bases, ((0, pad), (0, 0)))
+        lengths = np.pad(lengths, (0, pad))
+    ids = np.concatenate(
+        [np.arange(1, n + 1, dtype=np.int32), np.zeros(pad, np.int32)]
+    )
+    n_kmers = int(np.sum(np.maximum(lengths - s.kmer_size + 1, 0)))
+    widths = {s.band_width(int(x)) for x in lengths[:n]}
+    if len(widths) != 1:
+        raise NotImplementedError(
+            "sharded path currently requires a uniform band width "
+            f"(got {sorted(widths)}); use the single-device Overlapper"
+        )
+    (width,) = widths
+
+    caps = dict(caps or {})
+    caps.setdefault("cap_route", max(1024, 2 * n_kmers // max(n_dev, 1)))
+    caps.setdefault("cap_head", 1 << 20)
+    caps.setdefault("cap_tail", 1 << 20)
+    caps.setdefault("cap_agg", 1 << 18)
+    caps.setdefault("cap_pair_route", max(4096, caps["cap_agg"] // max(n_dev // 2, 1)))
+    caps.setdefault("cap_out", 1 << 16)
+
+    while True:
+        step = make_sharded_overlap_step(
+            mesh, s, la_max=l, width=width, **caps
+        )
+        valid, lead, trail, ahg, bhg, drops = step(
+            jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(ids)
+        )
+        drops = np.asarray(drops)
+        if drops.sum() == 0:
+            break
+        for k in caps:
+            caps[k] *= 2
+    valid = np.asarray(valid)
+    lead, trail = np.asarray(lead), np.asarray(trail)
+    ahg, bhg = np.asarray(ahg), np.asarray(bhg)
+    idx = np.nonzero(valid)[0]
+    recs = [
+        OverlapRecord(
+            id_a=int(lead[i]), id_b=int(trail[i]),
+            ahg=int(ahg[i]), bhg=int(bhg[i]),
+        )
+        for i in idx
+    ]
+    recs.sort(key=OverlapRecord.sort_key)
+    return recs

@@ -67,7 +67,7 @@ def test_candidate_pairs_match_oracle(crp_seqs):
     ov = Overlapper(s)
     bases, lengths = encode_reads(crp_seqs)
     occ = ov._occurrences(bases, lengths)
-    lead, trail = ov._candidates(occ)
+    lead, trail = ov._candidates(occ, bases, lengths)
     t = KmerTableOracle()
     for q in crp_seqs:
         t.add_sequence(q, s.kmer_size)
