@@ -22,18 +22,32 @@ def canonical_sort(records: Iterable[OverlapRecord]) -> list[OverlapRecord]:
 
 def write_ovl(records: Iterable[OverlapRecord], path: str | None = None) -> int:
     """Write records; path=None writes to stdout like the reference's
-    no-output mode (src/Project4.scala:815-819). Returns record count."""
-    n = 0
+    no-output mode (src/Project4.scala:815-819). Returns record count.
+
+    File output takes the native (C++) formatter when available and every
+    record has the default adj/scr fields (always true for engine output).
+    """
     if path is None:
+        n = 0
         for r in records:
             print(r.render())
             n += 1
         return n
+    recs = records if isinstance(records, list) else list(records)
+    if all(r.adj == "N" and r.scr == 0 for r in recs):
+        from sequence_aligner_tpu.native import ovl_write_native
+
+        wrote = ovl_write_native(
+            path,
+            [r.id_a for r in recs], [r.id_b for r in recs],
+            [r.ahg for r in recs], [r.bhg for r in recs],
+        ) if recs else None
+        if wrote is not None:
+            return len(recs)
     with open(path, "w") as f:
-        for r in records:
+        for r in recs:
             f.write(r.render() + "\n")
-            n += 1
-    return n
+    return len(recs)
 
 
 def parse_ovl(path_or_text: str, *, is_text: bool = False) -> list[OverlapRecord]:

@@ -87,25 +87,66 @@ class Overlapper:
             mid_tail=jnp.float32(s.kmer_mid_tail_edge),
         )
         plan = plan_pair_capacities(bases, lengths, s)
-        cap_h = _pow2_at_least(plan["h_total"])
-        cap_t = _pow2_at_least(plan["t_total"])
-        raw = plan["h_total"] + plan["t_total"]
-        cap_out = _pow2_at_least(raw // max(s.min_collisions, 1) + 1024)
-        while True:
-            out = candidate_pairs_device(
-                occ, **geom,
-                min_collisions=jnp.int32(s.min_collisions),
-                max_collisions=jnp.int32(s.max_collisions),
-                cap_head=cap_h, cap_tail=cap_t, cap_out=cap_out,
+        n_reads = bases.shape[0]
+        occ_max = _pow2_at_least(plan["occ_max"], 16)
+        row_tot = plan["row_tot"]  # per-read raw slot counts (host, exact)
+
+        # partition reads into row-size tiers so heavy (repeat-rich) reads
+        # get a large row_cap without inflating everyone's arrays; each
+        # tier is processed in fixed-size row chunks to bound HBM (one
+        # compiled program per tier, reused across chunks)
+        tiers = [4096, 16384, 65536, 262144, 1 << 20]
+        chunk_budget = 1 << 25  # rows_per_call * row_cap entries per buffer
+        all_lead: list[np.ndarray] = []
+        all_trail: list[np.ndarray] = []
+        lo = 0
+        for tier_cap in tiers:
+            sel = np.nonzero((row_tot > lo) & (row_tot <= tier_cap))[0]
+            lo = tier_cap
+            if len(sel) == 0:
+                continue
+            rows_per_call = max(64, chunk_budget // tier_cap)
+            for c0 in range(0, len(sel), rows_per_call):
+                chunk = sel[c0 : c0 + rows_per_call]
+                n_rows = rows_per_call if len(sel) > rows_per_call else (
+                    _pow2_at_least(len(chunk), 64)
+                )
+                group_reads = np.zeros(n_rows, dtype=np.int32)
+                group_reads[: len(chunk)] = chunk + 1  # 1-based read ids
+                group_lookup = np.full(n_reads + 1, -1, dtype=np.int32)
+                group_lookup[chunk + 1] = np.arange(len(chunk), dtype=np.int32)
+                row_cap = tier_cap
+                cap_out = 1 << 22
+                g_occ_max = occ_max
+                while True:
+                    out = candidate_pairs_device(
+                        occ, jnp.asarray(group_lookup),
+                        jnp.asarray(group_reads), **geom,
+                        min_collisions=jnp.int32(s.min_collisions),
+                        max_collisions=jnp.int32(s.max_collisions),
+                        n_rows=n_rows, occ_max=g_occ_max, row_cap=row_cap,
+                        cap_out=cap_out,
+                    )
+                    if not bool(out["overflow"]):
+                        break
+                    if int(out["drop_occ"]) > 0:
+                        g_occ_max *= 2
+                    if int(out["drop_row"]) > 0:
+                        row_cap *= 2
+                    if int(out["n_out"]) > cap_out:
+                        cap_out *= 2
+                k = int(out["n_out"])
+                all_lead.append(np.asarray(out["lead"][:k]))
+                all_trail.append(np.asarray(out["trail"][:k]))
+        if plan["row_max"] > tiers[-1]:
+            raise NotImplementedError(
+                f"a read generates {plan['row_max']} raw pair slots "
+                f"(> {tiers[-1]}); shard by hash prefix first"
             )
-            if not bool(out["overflow"]):
-                break
-            cap_h = _pow2_at_least(int(out["head_total"]), cap_h * 2)
-            cap_t = _pow2_at_least(int(out["tail_total"]), cap_t * 2)
-            cap_out = cap_out * 2
-        n = int(out["n_out"])
-        lead = np.asarray(out["lead"][:n])
-        trail = np.asarray(out["trail"][:n])
+        if not all_lead:
+            return np.zeros(0, np.int32), np.zeros(0, np.int32)
+        lead = np.concatenate(all_lead)
+        trail = np.concatenate(all_trail)
         order = np.lexsort((trail, lead))
         return lead[order], trail[order]
 
@@ -165,19 +206,24 @@ class Overlapper:
 
     # ---- full pipeline ----
     def run(self, path_or_seqs: str | list[Sequence]) -> list[OverlapRecord]:
-        seqs = (
-            read_fasta(path_or_seqs)
-            if isinstance(path_or_seqs, str)
-            else path_or_seqs
-        )
-        bases, lengths = encode_reads(seqs)
-        self.stats.n_reads = len(seqs)
+        if isinstance(path_or_seqs, str):
+            from sequence_aligner_tpu.native import fasta_encode_native
+
+            enc = fasta_encode_native(path_or_seqs)  # C++ fast path
+            if enc is None:
+                enc = encode_reads(read_fasta(path_or_seqs))
+            bases, lengths = enc
+            n_input = bases.shape[0]
+        else:
+            bases, lengths = encode_reads(path_or_seqs)
+            n_input = len(path_or_seqs)
+        self.stats.n_reads = n_input
         # pad the read count to a power-of-two tier so device programs
         # compile once per (N_tier, L) shape family
-        n_tier = _pow2_at_least(len(seqs), 256)
-        if n_tier > len(seqs):
-            bases = np.pad(bases, ((0, n_tier - len(seqs)), (0, 0)))
-            lengths = np.pad(lengths, (0, n_tier - len(seqs)))
+        n_tier = _pow2_at_least(n_input, 256)
+        if n_tier > n_input:
+            bases = np.pad(bases, ((0, n_tier - n_input), (0, 0)))
+            lengths = np.pad(lengths, (0, n_tier - n_input))
         occ = self._occurrences(bases, lengths)
         self.stats.n_kmers = int(np.asarray(occ["valid"]).sum())
         lead, trail = self._candidates(occ, bases, lengths)

@@ -63,13 +63,19 @@ def _compact_indices(mask, cap=None):
 
 def sort_occurrences(occ):
     """One-time hash sort of the occurrence table; invalid rows sink to the
-    end via a +inf key."""
+    end via a +inf key.  2-operand sort + gathers (multi-operand sorts
+    compile far slower on the TPU toolchain)."""
+    n = occ["hash"].shape[0]
     key = jnp.where(occ["valid"], occ["hash"], _I32_MAX)
-    key, rid, loc, val = jax.lax.sort(
-        (key, occ["read_id"], occ["loc"], occ["valid"].astype(jnp.int32)),
-        num_keys=1, is_stable=False,
+    key, perm = jax.lax.sort(
+        (key, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=False
     )
-    return dict(hash=key, read_id=rid, loc=loc, valid=val.astype(jnp.bool_))
+    return dict(
+        hash=key,
+        read_id=occ["read_id"][perm],
+        loc=occ["loc"][perm],
+        valid=occ["valid"][perm],
+    )
 
 
 def expand_raw_pairs(occ_sorted, geom, cap_head: int, cap_tail: int):
@@ -164,9 +170,14 @@ def compact_pairs(fst, snd, cnt, keep, cap_out: int):
     return lead[:cap_out], trail[:cap_out], ocnt[:cap_out], n_out
 
 
-@partial(jax.jit, static_argnames=("cap_head", "cap_tail", "cap_out"))
+@partial(
+    jax.jit,
+    static_argnames=("n_rows", "occ_max", "row_cap", "cap_out"),
+)
 def candidate_pairs_device(
     occ,
+    group_lookup,
+    group_reads,
     *,
     head_edge,
     tail_edge,
@@ -174,26 +185,193 @@ def candidate_pairs_device(
     mid_tail,
     min_collisions,
     max_collisions,
-    cap_head: int,
-    cap_tail: int,
+    n_rows: int,
+    occ_max: int,
+    row_cap: int,
     cap_out: int,
 ):
-    """occ: dict from kmer_scan (unsorted).  Returns compacted candidate
-    pairs: lead/trail/count [cap_out], n_out, head_total, tail_total,
-    overflow."""
-    geom = dict(
-        head_edge=head_edge, tail_edge=tail_edge,
-        mid_lead=mid_lead, mid_tail=mid_tail,
+    """Per-lead-read segmented pair counting.
+
+    Instead of materializing and sorting the full edge x middle
+    cross-product stream (tens of millions of raw pairs whose giant sorts
+    are impractical to compile), each ordered pair (fst, snd) is counted in
+    its LEAD read's row: every occurrence contributes role expansions
+    (head-edge vs mids, tail-edge vs mids, mid vs heads, mid vs tails), and
+    the addKmerPair loc-ordering rule (src/KmerTable.scala:57-80) assigns
+    each (edge, mid) coincidence to exactly one perspective — the one whose
+    read leads.  Rows of size ``row_cap`` are then sorted independently
+    (small batched bitonic program) and run-length counted, giving exact
+    global per-pair counts with every compiled sort fixed-size.
+
+    This mirrors the reference's dispatch-block structure (lead + trailing
+    set, src/KmerTable.scala:246-273) as the parallel decomposition.
+
+    ``group_lookup`` [max_read_id + 1] maps a read id to its row in this
+    call's read group (-1 if not in the group) and ``group_reads`` [n_rows]
+    maps rows back to read ids — the host driver partitions reads into
+    row-size tiers so heavy (repeat-rich) reads run at a larger row_cap
+    without inflating everyone's arrays.  Counterpart (snd) reads are
+    unrestricted, so per-group counts are exact global counts.
+
+    Returns dict: lead/trail/count [cap_out], n_out, drop_occ (occurrences
+    past occ_max per read), drop_row (row entries past row_cap), overflow.
+    """
+    occ_s = sort_occurrences(occ)
+    h = occ_s["hash"]
+    rid = occ_s["read_id"]
+    loc = occ_s["loc"]
+    valid = occ_s["valid"] & (h != _I32_MAX)
+    n = h.shape[0]
+
+    is_head = valid & (loc <= head_edge)
+    is_mid = valid & (mid_lead <= loc) & (loc <= mid_tail)
+    is_tail = valid & (loc >= tail_edge)
+
+    # role member tables: rank -> hash-sorted row
+    mid_rows, mid_pref, mid_tot = _compact_indices(is_mid)
+    head_rows, head_pref, head_tot = _compact_indices(is_head)
+    tail_rows, tail_pref, tail_tot = _compact_indices(is_tail)
+    mid_f = jnp.concatenate([mid_pref, mid_tot[None]])
+    head_f = jnp.concatenate([head_pref, head_tot[None]])
+    tail_f = jnp.concatenate([tail_pref, tail_tot[None]])
+    cat_rows = jnp.concatenate([mid_rows, head_rows, tail_rows])
+
+    # per-occurrence segment info (hash order)
+    seg_l = _ss(h, h)
+    seg_r = _ss_right(h, h)
+    mid_base = mid_f[seg_l]
+    midc = mid_f[seg_r] - mid_base
+    head_base = head_f[seg_l]
+    headc = head_f[seg_r] - head_base
+    tail_base = tail_f[seg_l]
+    tailc = tail_f[seg_r] - tail_base
+
+    z = jnp.zeros_like(midc)
+    nh = jnp.where(is_head, midc, z)
+    nt = jnp.where(is_tail, midc, z)
+    nmh = jnp.where(is_mid, headc, z)
+    nmt = jnp.where(is_mid, tailc, z)
+    r1 = nh
+    r2 = nh + nt
+    r3 = r2 + nmh
+    r4 = r3 + nmt  # n_o
+
+    # ---- order descriptors by group row (1 small sort + gathers) ----
+    grow = group_lookup[jnp.clip(rid, 0, group_lookup.shape[0] - 1)]
+    rkey = jnp.where(valid & (r4 > 0) & (grow >= 0), grow, _I32_MAX)
+    rkey_s, perm = jax.lax.sort(
+        (rkey, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
     )
-    occ_sorted = sort_occurrences(occ)
-    fst, snd, ok, h_total, t_total = expand_raw_pairs(
-        occ_sorted, geom, cap_head, cap_tail
+    g = lambda a: a[perm]
+    n_o = g(r4)
+    # per-read block base offsets
+    incl = jnp.cumsum(n_o)
+    excl = incl - n_o
+    read_start = _ss(rkey_s, rkey_s)
+    base = excl - excl[read_start]
+    occ_rank = jnp.arange(n, dtype=jnp.int32) - read_start
+
+    dok = (rkey_s != _I32_MAX) & (occ_rank < occ_max)
+    drop_occ = jnp.sum(((rkey_s != _I32_MAX) & (occ_rank >= occ_max)).astype(jnp.int32))
+    rrow = jnp.clip(rkey_s, 0, n_rows - 1)
+    dslot = jnp.where(dok, rrow * occ_max + occ_rank, n_rows * occ_max)
+
+    # single stacked scatter for all 9 descriptor fields (separate scatters
+    # each cost ~12s of TPU compile); loc travels bitcast as int32
+    fields = jnp.stack(
+        [
+            base,                      # 0: base offset in the read row
+            g(r1), g(r2), g(r3), g(r4),  # 1-4: role boundaries
+            g(mid_base),               # 5: counterpart rank bases
+            g(head_base) + n,          #    (global offsets into cat_rows)
+            g(tail_base) + 2 * n,
+            jax.lax.bitcast_convert_type(g(loc), jnp.int32),  # 8: occ loc
+        ],
+        axis=1,
     )
-    fst, snd, cnt, first = aggregate_pairs(fst, snd, jnp.ones_like(fst), ok)
+    fills = jnp.asarray(
+        [_I32_MAX, 0, 0, 0, 0, 0, 0, 0, 0], dtype=jnp.int32
+    )
+    buf = jnp.broadcast_to(fills, (n_rows * occ_max + 1, 9))
+    packed = buf.at[dslot].set(jnp.where(dok[:, None], fields, fills))
+    packed = packed[: n_rows * occ_max].reshape(n_rows, occ_max, 9)
+    d_base = packed[:, :, 0]
+    d_r1, d_r2, d_r3, d_r4 = (packed[:, :, i] for i in range(1, 5))
+    d_mb, d_hb, d_tb = (packed[:, :, i] for i in range(5, 8))
+    d_loc = jax.lax.bitcast_convert_type(packed[:, :, 8], jnp.float32)
+
+    # per-row raw totals / overflow
+    row_tot = jax.ops.segment_sum(
+        jnp.where(valid & (grow >= 0), r4, 0),
+        jnp.clip(grow, 0, n_rows - 1),
+        num_segments=n_rows,
+    )
+    drop_row = jnp.sum(jnp.maximum(row_tot - row_cap, 0))
+
+    # ---- expansion into per-read rows ----
+    t = jnp.arange(row_cap, dtype=jnp.int32)
+
+    def row_desc(base_row):
+        return jnp.searchsorted(
+            base_row, t, side="right", method="scan_unrolled"
+        ).astype(jnp.int32) - 1
+
+    d_idx = jax.vmap(row_desc)(d_base)  # [n_rows, row_cap]
+    d_idx = jnp.clip(d_idx, 0, occ_max - 1)
+    take = lambda m: jnp.take_along_axis(m, d_idx, axis=1)
+    local = t[None, :] - take(d_base)
+    rr1, rr2, rr3, rr4 = take(d_r1), take(d_r2), take(d_r3), take(d_r4)
+    in_exp = (local >= 0) & (local < rr4)
+    crank = jnp.where(
+        local < rr1, take(d_mb) + local,
+        jnp.where(
+            local < rr2, take(d_mb) + (local - rr1),
+            jnp.where(
+                local < rr3, take(d_hb) + (local - rr2),
+                take(d_tb) + (local - rr3),
+            ),
+        ),
+    )
+    crow = cat_rows[jnp.clip(crank, 0, 3 * n - 1)]
+    snd = rid[crow]
+    sloc = loc[crow]
+    o_loc = take(d_loc)
+    is_edge_role = local < rr2
+    # lead rule: edge role counts iff o.loc > counterpart loc; mid role
+    # counts iff counterpart (edge) loc <= o.loc — ties lead the mid side
+    lead_ok = jnp.where(is_edge_role, o_loc > sloc, sloc <= o_loc)
+    me = group_reads[:, None]
+    ok = in_exp & lead_ok & (snd != me)
+    val = jnp.where(ok, snd, _I32_MAX)
+
+    # ---- per-row sort + run-length count ----
+    val_s = jax.lax.sort(val, dimension=1, is_stable=False)
+    first = jnp.concatenate(
+        [
+            jnp.ones((n_rows, 1), jnp.bool_),
+            val_s[:, 1:] != val_s[:, :-1],
+        ],
+        axis=1,
+    ) & (val_s != _I32_MAX)
+
+    def row_counts(row):
+        lo = jnp.searchsorted(row, row, side="left", method="scan_unrolled")
+        hi = jnp.searchsorted(row, row, side="right", method="scan_unrolled")
+        return (hi - lo).astype(jnp.int32)
+
+    cnt = jax.vmap(row_counts)(val_s)
     keep = first & (min_collisions <= cnt) & (cnt <= max_collisions)
-    lead, trail, ocnt, n_out = compact_pairs(fst, snd, cnt, keep, cap_out)
-    overflow = (h_total > cap_head) | (t_total > cap_tail) | (n_out > cap_out)
+
+    # ---- global compaction ----
+    flat_keep = keep.reshape(-1)
+    flat_lead = jnp.broadcast_to(me, (n_rows, row_cap)).reshape(-1)
+    flat_trail = val_s.reshape(-1)
+    flat_cnt = cnt.reshape(-1)
+    lead, trail, ocnt, n_out = compact_pairs(
+        flat_lead, flat_trail, flat_cnt, flat_keep, cap_out
+    )
+    overflow = (drop_occ > 0) | (drop_row > 0) | (n_out > cap_out)
     return dict(
         lead=lead, trail=trail, count=ocnt, n_out=n_out,
-        head_total=h_total, tail_total=t_total, overflow=overflow,
+        drop_occ=drop_occ, drop_row=drop_row, overflow=overflow,
     )

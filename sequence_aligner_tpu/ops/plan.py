@@ -47,7 +47,11 @@ def plan_pair_capacities(
     is_head = valid & (loc <= s.kmer_head_edge)
     is_mid = valid & (s.kmer_mid_lead_edge <= loc) & (loc <= s.kmer_mid_tail_edge)
     is_tail = valid & (loc >= s.kmer_tail_edge)
-    hv = h[valid]
+    n_reads = bases.shape[0]
+    rid = np.repeat(
+        np.arange(n_reads, dtype=np.int64), h.shape[0] // max(n_reads, 1)
+    ) if n_reads else np.zeros(0, np.int64)
+    hv = h.ravel()[valid]
     uniq, inv = np.unique(hv, return_inverse=True)
     m = len(uniq)
     head_cnt = np.bincount(inv[is_head[valid]], minlength=m).astype(np.int64)
@@ -55,14 +59,24 @@ def plan_pair_capacities(
     tail_cnt = np.bincount(inv[is_tail[valid]], minlength=m).astype(np.int64)
     h_total = int((head_cnt * mid_cnt).sum())
     t_total = int((tail_cnt * mid_cnt).sum())
-    if h_total >= 2**31 or t_total >= 2**31:
-        raise NotImplementedError(
-            f"raw pair totals ({h_total}, {t_total}) exceed int32; shard the "
-            "input by hash prefix (parallel.shard) before pair generation"
-        )
+    # per-occurrence expansion size (all four roles), accumulated per read
+    n_o = np.zeros(valid.sum(), dtype=np.int64)
+    vh = is_head[valid]
+    vm = is_mid[valid]
+    vt = is_tail[valid]
+    n_o += np.where(vh, mid_cnt[inv], 0)
+    n_o += np.where(vt, mid_cnt[inv], 0)
+    n_o += np.where(vm, head_cnt[inv] + tail_cnt[inv], 0)
+    rid_valid = rid[valid]
+    row_tot = np.bincount(rid_valid, weights=n_o, minlength=n_reads)
+    occ_per_read = np.bincount(rid_valid[n_o > 0], minlength=n_reads)
     return dict(
         h_total=h_total,
         t_total=t_total,
         n_kmers=int(valid.sum()),
         n_unique=m,
+        row_max=int(row_tot.max()) if n_reads else 0,
+        occ_max=int(occ_per_read.max()) if n_reads else 0,
+        raw_total=int(row_tot.sum()),
+        row_tot=row_tot.astype(np.int64),  # per-read raw slot counts
     )
