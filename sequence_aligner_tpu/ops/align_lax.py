@@ -11,15 +11,18 @@ batched over thousands of read pairs:
   * ``local_align_batch`` — full Smith-Waterman (src/BioLibs.scala:171-263).
 
 TPU-first design notes:
+  - DP state is laid out [band, batch] so the 128-lane vector dimension is
+    the PAIR BATCH (fully utilized) and the narrow band lives on sublanes —
+    a [batch, 13] layout would waste 115/128 lanes of every tile;
   - rows scan over read length; the in-row affine-X recurrence
     X_j = gE + max(c_j, X_{j-1}) is solved in closed form as a cummax of
-    (c_m - m*gE), so every row is a pure vector op over the band — no
-    sequential inner loop;
+    (c_m - m*gE) along the band, so every row is a pure vector op;
   - the running max replicates the reference's strict-> row-major scan by
     tracking (first row, first column) achieving each new maximum;
-  - tracebacks are step-locked scans across the whole batch (value-based
-    branch selection, exactly the reference's comparisons);
-  - everything is int32/float32, static shapes, masked tails.
+  - tracebacks are step-locked scans across the whole batch; per-step cell
+    reads are lane-parallel take_along_axis gathers on [rows*cols, batch]
+    flattened matrices (value-based branch selection, exactly the
+    reference's comparisons).
 
 Semantics are validated element-for-element against oracle/align.py.
 """
@@ -38,62 +41,56 @@ def _max3(a, b, c):
     return jnp.maximum(a, jnp.maximum(b, c))
 
 
-def _gather2(mat, i, j):
-    """mat [P, R, C], i [P], j [P] -> mat[p, i[p], j[p]]."""
-    return jax.vmap(lambda m, a, b: m[a, b])(mat, i, j)
+def _flat_gather(flat_mat, idx):
+    """flat_mat [RC, P], idx [P] -> flat_mat[idx[p], p]."""
+    return jnp.take_along_axis(flat_mat, idx[None, :], axis=0)[0]
 
 
 def _row_x(c, ge, inb=None):
     """Solve X_k = gE + max(c_k, X_{k-1}) for k = 1..W as a cummax.
 
-    c: [P, W] with c_k = max(M_{k-1}+gO, Y_{k-1}+gO, 0) (>= 0 in band).
-    inb: optional [P, W] mask of in-band columns k (1-based); out-of-band
-    columns reset the chain (their X is forced elsewhere).
+    c: [W, P] with c_k = max(M_{k-1}+gO, Y_{k-1}+gO, 0) (>= 0 in band).
+    inb: optional [W, P] mask of in-band columns k (1-based); out-of-band
+    columns must not contribute to the chain.
     Returns X for columns 1..W: (k+1)*gE + cummax_m<=k (c_m - m*gE).
     """
-    w = c.shape[1]
-    m = jnp.arange(1, w + 1, dtype=jnp.int32)
-    v = c - m[None, :] * ge
+    w = c.shape[0]
+    m = jnp.arange(1, w + 1, dtype=jnp.int32)[:, None]
+    v = c - m * ge
     if inb is not None:
         v = jnp.where(inb, v, _NEG)
-    run = jax.lax.cummax(v, axis=1)
-    return (m[None, :] + 1) * ge + run
+    run = jax.lax.cummax(v, axis=0)
+    return (m + 1) * ge + run
 
 
-def _phase1_fill(a_bases, b_bases, a_len, cm, gO, gE, la_max: int, w: int):
-    """Banded SW of A vs B[0:w].  Returns stored matrices [P, la_max+1, w+1]
-    and the running max/location."""
-    p = a_bases.shape[0]
-    b_pref = b_bases[:, :w].astype(jnp.int32)  # [P, w]
-    zrow = jnp.zeros((p, w + 1), jnp.int32)
+def _phase1_fill(a_t, b_t, a_len, cm_flat, gO, gE, la_max: int, w: int):
+    """Banded SW of A vs B[0:w], band-transposed layout.
+
+    a_t [la_max, P] int32 codes, b_t [lb_max, P].  Returns flattened
+    matrices [ (la_max+1)*(w+1), P ] and the running max/location.
+    """
+    p = a_t.shape[1]
+    b_pref = b_t[:w]  # [w, P]
+    zrow = jnp.zeros((w + 1, p), jnp.int32)
 
     def step(carry, i):
         mp, xp, yp, best, bi, bj = carry
-        a_code = a_bases[:, i - 1].astype(jnp.int32)  # [P]
-        sub = cm[a_code[:, None], b_pref]  # [P, w]
+        a_code = jax.lax.dynamic_index_in_dim(a_t, i - 1, axis=0, keepdims=False)
+        sub = cm_flat[a_code[None, :] * 4 + b_pref]  # [w, P]
+        zero = jnp.zeros((1, p), jnp.int32)
         m_new = jnp.concatenate(
-            [
-                jnp.zeros((p, 1), jnp.int32),
-                sub
-                + _max3(mp[:, :-1], yp[:, :-1], jnp.maximum(xp[:, :-1], 0)),
-            ],
-            axis=1,
+            [zero, sub + _max3(mp[:-1], yp[:-1], jnp.maximum(xp[:-1], 0))],
+            axis=0,
         )
         y_new = jnp.concatenate(
-            [
-                jnp.zeros((p, 1), jnp.int32),
-                gE
-                + _max3(mp[:, 1:] + gO, yp[:, 1:], jnp.maximum(xp[:, 1:] + gO, 0)),
-            ],
-            axis=1,
+            [zero, gE + _max3(mp[1:] + gO, yp[1:], jnp.maximum(xp[1:] + gO, 0))],
+            axis=0,
         )
-        c = _max3(m_new[:, :-1] + gO, y_new[:, :-1] + gO, jnp.zeros((p, w), jnp.int32))
-        x_new = jnp.concatenate(
-            [jnp.zeros((p, 1), jnp.int32), _row_x(c, gE)], axis=1
-        )
-        row_t = _max3(m_new, x_new, y_new)[:, 1:]
-        rb = jnp.max(row_t, axis=1)
-        jb = jnp.argmax(row_t == rb[:, None], axis=1).astype(jnp.int32) + 1
+        c = _max3(m_new[:-1] + gO, y_new[:-1] + gO, jnp.zeros((w, p), jnp.int32))
+        x_new = jnp.concatenate([zero, _row_x(c, gE)], axis=0)
+        row_t = _max3(m_new, x_new, y_new)[1:]  # [w, P]
+        rb = jnp.max(row_t, axis=0)
+        jb = jnp.argmax(row_t == rb[None, :], axis=0).astype(jnp.int32) + 1
         upd = (i <= a_len) & (rb > best)
         best = jnp.where(upd, rb, best)
         bi = jnp.where(upd, i, bi)
@@ -108,20 +105,25 @@ def _phase1_fill(a_bases, b_bases, a_len, cm, gO, gE, la_max: int, w: int):
     (mf, xf, yf, best, bi, bj), rows = jax.lax.scan(
         step, init, jnp.arange(1, la_max + 1, dtype=jnp.int32)
     )
-    # rows: each [la_max, P, w+1] -> [P, la_max+1, w+1] with zero row 0
-    def stack(r):
-        r = jnp.moveaxis(r, 0, 1)
-        return jnp.concatenate([jnp.zeros((p, 1, w + 1), jnp.int32), r], axis=1)
+
+    def stack(r):  # [la_max, w+1, P] -> [(la_max+1)*(w+1), P]
+        full = jnp.concatenate([jnp.zeros((1, w + 1, p), jnp.int32), r], axis=0)
+        return full.reshape((la_max + 1) * (w + 1), p)
 
     return stack(rows[0]), stack(rows[1]), stack(rows[2]), best, bi, bj
 
 
-def _traceback_moves(M, X, Y, i0, j0, active0, steps: int):
-    """Phase-1 style traceback: only coordinate moves, no char counting."""
+def _traceback_moves(Mf, Xf, Yf, cols: int, i0, j0, active0, steps: int):
+    """Phase-1 style traceback: only coordinate moves, no char counting.
+    Mf/Xf/Yf are flattened [R*cols, P]."""
+
+    def cell(i, j):
+        f = i * cols + j
+        return _flat_gather(Mf, f), _flat_gather(Xf, f), _flat_gather(Yf, f)
 
     def step(state, _):
         i, j, active = state
-        mv, xv, yv = _gather2(M, i, j), _gather2(X, i, j), _gather2(Y, i, j)
+        mv, xv, yv = cell(i, j)
         mx = _max3(mv, xv, yv)
         is_m = active & (mv == mx)
         is_x = active & ~is_m & (xv == mx)
@@ -130,7 +132,7 @@ def _traceback_moves(M, X, Y, i0, j0, active0, steps: int):
         j_n = j - (is_m | is_x).astype(jnp.int32)
         i = jnp.where(active, i_n, i)
         j = jnp.where(active, j_n, j)
-        mv2, xv2, yv2 = _gather2(M, i, j), _gather2(X, i, j), _gather2(Y, i, j)
+        mv2, xv2, yv2 = cell(i, j)
         active = active & (_max3(mv2, xv2, yv2) > 0)
         return (i, j, active), None
 
@@ -151,63 +153,60 @@ def fast_dovetail_batch(
     width (settings.band_width of the lead length class).
 
     Returns per-pair dict: start_i/j, end_i/j, correct, error, align_len,
-    dud, valid, ahg, bhg.
+    dud, valid, align_valid, ahg, bhg.
     """
     p = a_bases.shape[0]
     w = width
-    cm = cm.astype(jnp.int32)
+    cm_flat = cm.astype(jnp.int32).reshape(-1)
     gO = jnp.int32(gO)
     gE = jnp.int32(gE)
+    a_t = a_bases.astype(jnp.int32).T  # [la_max, P]
+    b_t = b_bases.astype(jnp.int32).T
 
     dud_short = b_len < w  # reference would index past B (BioLibs.scala:418)
 
     # ---- phase 1: banded SW anchor ----
     M1, X1, Y1, best1, bi, bj = _phase1_fill(
-        a_bases, b_bases, a_len, cm, gO, gE, la_max, w
+        a_t, b_t, a_len, cm_flat, gO, gE, la_max, w
     )
     act1 = (best1 > 0) & ~dud_short
-    fi, fj = _traceback_moves(M1, X1, Y1, bi, bj, act1, la_max + w + 2)
+    fi, fj = _traceback_moves(M1, X1, Y1, w + 1, bi, bj, act1, la_max + w + 2)
     dud = ~act1 | (fj != 0)
     dove_start = fi
     dove_len = a_len - dove_start
     zero_row = w // 2
 
     # ---- phase 2: rotated band DP ----
-    zrow = jnp.zeros((p, w + 1), jnp.int32)
-    ks = jnp.arange(w + 1, dtype=jnp.int32)
+    zrow = jnp.zeros((w + 1, p), jnp.int32)
+    ks = jnp.arange(w + 1, dtype=jnp.int32)[:, None]  # [w+1, 1]
 
     def step2(carry, u):
         mp, xp, yp, best, bu, bk = carry
         i = u + dove_start  # [P]
-        j = ks[None, :] - zero_row + u  # [P? no: [1, w+1] + broadcast
-        j = jnp.broadcast_to(j, (p, w + 1))
-        inb = (u <= dove_len)[:, None] & (j >= 1) & (j <= b_len[:, None])
+        j = ks - zero_row + u  # [w+1, 1] -> same for all pairs
+        jb = jnp.broadcast_to(j, (w + 1, p))
+        inb = (u <= dove_len)[None, :] & (jb >= 1) & (jb <= b_len[None, :])
         a_code = jnp.take_along_axis(
-            a_bases.astype(jnp.int32),
-            jnp.clip(i - 1, 0, la_max - 1)[:, None], axis=1,
-        )  # [P, 1]
-        b_code = jnp.take_along_axis(
-            b_bases.astype(jnp.int32), jnp.clip(j - 1, 0, lb_max - 1), axis=1
-        )  # [P, w+1]
-        sub = cm[a_code, b_code]  # [P, w+1]
-        m_new = jnp.where(
-            inb, sub + _max3(mp, yp, jnp.maximum(xp, 0)), 0
+            a_t, jnp.clip(i - 1, 0, la_max - 1)[None, :], axis=0
+        )[0]  # [P]
+        b_code = jnp.take(b_t, jnp.clip(j[:, 0] - 1, 0, lb_max - 1), axis=0)
+        sub = cm_flat[a_code[None, :] * 4 + b_code]  # [w+1, P]
+        m_new = jnp.where(inb, sub + _max3(mp, yp, jnp.maximum(xp, 0)), 0)
+        shift = lambda r: jnp.concatenate(
+            [r[1:], jnp.zeros((1, p), jnp.int32)], axis=0
         )
-        shift = lambda r: jnp.concatenate([r[:, 1:], jnp.zeros((p, 1), jnp.int32)], 1)
         y_new = jnp.where(
-            inb & (ks[None, :] != w),
+            inb & (ks != w),
             gE + _max3(shift(mp) + gO, shift(yp), jnp.maximum(shift(xp) + gO, 0)),
             0,
         )
-        c = _max3(
-            m_new[:, :-1] + gO, y_new[:, :-1] + gO, jnp.zeros((p, w), jnp.int32)
-        )
-        x_band = _row_x(c, gE, inb=inb[:, 1:])
-        x_new = jnp.concatenate([jnp.zeros((p, 1), jnp.int32), x_band], axis=1)
-        x_new = jnp.where(inb & (ks[None, :] != 0), x_new, 0)
+        c = _max3(m_new[:-1] + gO, y_new[:-1] + gO, jnp.zeros((w, p), jnp.int32))
+        x_band = _row_x(c, gE, inb=inb[1:])
+        x_new = jnp.concatenate([jnp.zeros((1, p), jnp.int32), x_band], axis=0)
+        x_new = jnp.where(inb & (ks != 0), x_new, 0)
         row_t = _max3(m_new, x_new, y_new)
-        rb = jnp.max(row_t, axis=1)
-        kb = jnp.argmax(row_t == rb[:, None], axis=1).astype(jnp.int32)
+        rb = jnp.max(row_t, axis=0)
+        kb = jnp.argmax(row_t == rb[None, :], axis=0).astype(jnp.int32)
         upd = rb > best
         best = jnp.where(upd, rb, best)
         bu = jnp.where(upd, u, bu)
@@ -224,17 +223,25 @@ def fast_dovetail_batch(
     )
 
     def stack(r):
-        r = jnp.moveaxis(r, 0, 1)
-        return jnp.concatenate([jnp.zeros((p, 1, w + 1), jnp.int32), r], axis=1)
+        full = jnp.concatenate([jnp.zeros((1, w + 1, p), jnp.int32), r], axis=0)
+        return full.reshape((la_max + 1) * (w + 1), p)
 
     M2, X2, Y2 = stack(rows2[0]), stack(rows2[1]), stack(rows2[2])
 
     # ---- phase 2 traceback with match/error counting ----
     act2 = (best2 > 0) & ~dud
+    cols = w + 1
+
+    def cell2(u, k):
+        f = u * cols + k
+        return _flat_gather(M2, f), _flat_gather(X2, f), _flat_gather(Y2, f)
+
+    a_flat = a_bases  # [P, la_max] int8
+    b_flat = b_bases
 
     def step_tb(state, _):
         u, k, c, e, steps, active = state
-        mv, xv, yv = _gather2(M2, u, k), _gather2(X2, u, k), _gather2(Y2, u, k)
+        mv, xv, yv = cell2(u, k)
         mx = _max3(mv, xv, yv)
         is_m = active & (mv == mx)
         is_x = active & ~is_m & (xv == mx)
@@ -242,10 +249,10 @@ def fast_dovetail_batch(
         i = u + dove_start
         j = k - zero_row + u
         pa = jnp.take_along_axis(
-            a_bases, jnp.clip(i - 1, 0, la_max - 1)[:, None], axis=1
+            a_flat, jnp.clip(i - 1, 0, la_max - 1)[:, None], axis=1
         )[:, 0]
         pb = jnp.take_along_axis(
-            b_bases, jnp.clip(j - 1, 0, lb_max - 1)[:, None], axis=1
+            b_flat, jnp.clip(j - 1, 0, lb_max - 1)[:, None], axis=1
         )[:, 0]
         eq = pa == pb
         c = c + (is_m & eq).astype(jnp.int32)
@@ -255,7 +262,7 @@ def fast_dovetail_batch(
         k_n = k - is_x.astype(jnp.int32) + is_y.astype(jnp.int32)
         u = jnp.where(active, u_n, u)
         k = jnp.where(active, k_n, k)
-        mv2, xv2, yv2 = _gather2(M2, u, k), _gather2(X2, u, k), _gather2(Y2, u, k)
+        mv2, xv2, yv2 = cell2(u, k)
         active = active & (_max3(mv2, xv2, yv2) > 0)
         return (u, k, c, e, steps, active), None
 
@@ -281,9 +288,7 @@ def fast_dovetail_batch(
     ahg = start_i - start_j
     bhg = b_len - a_len + ahg
     hang_ok = (jnp.abs(ahg) < max_ignore) & (jnp.abs(bhg) < max_ignore)
-    valid = (
-        ~dud_all & (tot > 0) & ident_ok & len_ok & dovetail & hang_ok
-    )
+    valid = ~dud_all & (tot > 0) & ident_ok & len_ok & dovetail & hang_ok
     return dict(
         start_i=start_i, start_j=start_j, end_i=end_i, end_j=end_j,
         correct=corr, error=err, align_len=steps, dud=dud_all,
@@ -303,34 +308,41 @@ def local_align_batch(
     banded aligner (the full matrix is a band of width lb_max)."""
     p = a_bases.shape[0]
     w = lb_max
-    cm = cm.astype(jnp.int32)
+    cm_flat = cm.astype(jnp.int32).reshape(-1)
     gO = jnp.int32(gO)
     gE = jnp.int32(gE)
+    a_t = a_bases.astype(jnp.int32).T
+    b_t = b_bases.astype(jnp.int32).T
 
-    M, X, Y, best, bi, bj = _phase1_fill(
-        a_bases, b_bases, a_len, cm, gO, gE, la_max, w
-    )
-    # mask columns beyond b_len: the reference never fills j > len(B); our
-    # fill did, so re-derive the running max restricted to valid columns.
-    cols = jnp.arange(w + 1, dtype=jnp.int32)
-    colmask = cols[None, None, :] <= b_len[:, None, None]
-    rowmask = (
-        jnp.arange(la_max + 1, dtype=jnp.int32)[None, :, None] <= a_len[:, None, None]
-    )
+    M, X, Y, _, _, _ = _phase1_fill(a_t, b_t, a_len, cm_flat, gO, gE, la_max, w)
+    cols = w + 1
+    # re-derive the running max restricted to valid rows/columns: the fill
+    # computed cells beyond each pair's b_len from pad codes
+    rc = jnp.arange((la_max + 1) * cols, dtype=jnp.int32)
+    rows_idx = rc // cols
+    cols_idx = rc % cols
     t = _max3(M, X, Y)
-    t = jnp.where(colmask & rowmask, t, _NEG)
-    t = t.at[:, 0, :].set(_NEG).at[:, :, 0].set(_NEG)
-    flat = t.reshape(p, -1)
-    best = jnp.max(flat, axis=1)
-    arg = jnp.argmax(flat == best[:, None], axis=1).astype(jnp.int32)
-    bi = arg // (w + 1)
-    bj = arg % (w + 1)
+    ok = (
+        (rows_idx[:, None] >= 1)
+        & (rows_idx[:, None] <= a_len[None, :])
+        & (cols_idx[:, None] >= 1)
+        & (cols_idx[:, None] <= b_len[None, :])
+    )
+    t = jnp.where(ok, t, _NEG)
+    best = jnp.max(t, axis=0)
+    arg = jnp.argmax(t == best[None, :], axis=0).astype(jnp.int32)
+    bi = arg // cols
+    bj = arg % cols
 
     act = best > 0
 
+    def cell(i, j):
+        f = i * cols + j
+        return _flat_gather(M, f), _flat_gather(X, f), _flat_gather(Y, f)
+
     def step_tb(state, _):
         i, j, c, e, steps, active = state
-        mv, xv, yv = _gather2(M, i, j), _gather2(X, i, j), _gather2(Y, i, j)
+        mv, xv, yv = cell(i, j)
         mx = _max3(mv, xv, yv)
         is_m = active & (mv == mx)
         is_x = active & ~is_m & (xv == mx)
@@ -341,7 +353,6 @@ def local_align_batch(
         pb = jnp.take_along_axis(
             b_bases, jnp.clip(j - 1, 0, lb_max - 1)[:, None], axis=1
         )[:, 0]
-        # X consumes A's char, Y consumes B's char (gap on the other side)
         eq = pa == pb
         c = c + (is_m & eq).astype(jnp.int32)
         e = e + ((is_m & ~eq) | is_x | is_y).astype(jnp.int32)
@@ -350,7 +361,7 @@ def local_align_batch(
         j_n = j - (is_m | is_x).astype(jnp.int32)
         i = jnp.where(active, i_n, i)
         j = jnp.where(active, j_n, j)
-        mv2, xv2, yv2 = _gather2(M, i, j), _gather2(X, i, j), _gather2(Y, i, j)
+        mv2, xv2, yv2 = cell(i, j)
         active = active & (_max3(mv2, xv2, yv2) > 0)
         return (i, j, c, e, steps, active), None
 
