@@ -47,13 +47,13 @@ def main():
 
     # warmup pass: triggers all compiles at the exact production shapes
     t0 = time.time()
-    ov = Overlapper(s, batch_size=8192)
+    ov = Overlapper(s, batch_size=16384)
     recs = ov.run(seqs)
     log(f"warmup: {len(recs)} records in {time.time() - t0:.1f}s "
         f"(includes compiles) stats={ov.stats}")
 
     # timed pass
-    ov = Overlapper(s, batch_size=8192)
+    ov = Overlapper(s, batch_size=16384)
     t0 = time.time()
     recs = ov.run(seqs)
     elapsed = time.time() - t0

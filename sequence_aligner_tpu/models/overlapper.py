@@ -96,7 +96,10 @@ class Overlapper:
         # tier is processed in fixed-size row chunks to bound HBM (one
         # compiled program per tier, reused across chunks)
         tiers = [4096, 16384, 65536, 262144, 1 << 20]
-        chunk_budget = 1 << 25  # rows_per_call * row_cap entries per buffer
+        # rows_per_call * row_cap entries per buffer; compile time of the
+        # final compaction grows superlinearly in cap_out, so chunks are
+        # kept small enough that cap_out = 2^21 always suffices
+        chunk_budget = 1 << 24
         all_lead: list[np.ndarray] = []
         all_trail: list[np.ndarray] = []
         lo = 0
@@ -116,7 +119,7 @@ class Overlapper:
                 group_lookup = np.full(n_reads + 1, -1, dtype=np.int32)
                 group_lookup[chunk + 1] = np.arange(len(chunk), dtype=np.int32)
                 row_cap = tier_cap
-                cap_out = 1 << 22
+                cap_out = 1 << 21
                 g_occ_max = occ_max
                 while True:
                     out = candidate_pairs_device(
@@ -171,6 +174,8 @@ class Overlapper:
         la = lengths[lead - 1]
         widths = s.band_widths(la)
         cm = jnp.asarray(s.cost_matrix)
+        pending = []  # (chunk_indices, device_result) — fetched after the
+        # dispatch loop so the device pipeline stays full
         for w in np.unique(widths):
             idxs = np.nonzero(widths == w)[0]
             bs = min(self.batch_size, _pow2_at_least(len(idxs), 256))
@@ -199,9 +204,14 @@ class Overlapper:
                         jnp.asarray(bases[b_idx]), jnp.asarray(lengths[b_idx]),
                         **kw,
                     )
-                for k in out:
-                    vals = np.asarray(res[k])
-                    out[k][chunk] = vals[: len(chunk)]
+                pending.append((chunk, res))
+                if len(pending) >= 8:  # bound device-queue depth
+                    c0, r0 = pending.pop(0)
+                    for k in out:
+                        out[k][c0] = np.asarray(r0[k])[: len(c0)]
+        for c0, r0 in pending:
+            for k in out:
+                out[k][c0] = np.asarray(r0[k])[: len(c0)]
         return out
 
     # ---- full pipeline ----

@@ -19,10 +19,10 @@ TPU-first design notes:
     (c_m - m*gE) along the band, so every row is a pure vector op;
   - the running max replicates the reference's strict-> row-major scan by
     tracking (first row, first column) achieving each new maximum;
-  - tracebacks are step-locked scans across the whole batch; per-step cell
-    reads are lane-parallel take_along_axis gathers on [rows*cols, batch]
-    flattened matrices (value-based branch selection, exactly the
-    reference's comparisons).
+  - the fill emits a 3-bit per-cell traceback code (branch with M->X->Y
+    preference in bits 0-1, cell-max>0 in bit 2) as int8, so the
+    step-locked batch traceback needs exactly one lane-parallel int8
+    gather per step — it never rereads the DP values.
 
 Semantics are validated element-for-element against oracle/align.py.
 """
@@ -39,6 +39,14 @@ _NEG = jnp.int32(-(2**30))
 
 def _max3(a, b, c):
     return jnp.maximum(a, jnp.maximum(b, c))
+
+
+def _dir_code(mv, xv, yv):
+    """3-bit traceback code per cell: bits 0-1 = argmax with M->X->Y
+    preference (0=M, 1=X, 2=Y); bit 2 = max > 0 (traceback-continue); int32 storage (int8 trips the TPU compiler)."""
+    mx = _max3(mv, xv, yv)
+    branch = jnp.where(mv == mx, 0, jnp.where(xv == mx, 1, 2))
+    return (branch | jnp.where(mx > 0, 4, 0)).astype(jnp.int32)
 
 
 def _flat_gather(flat_mat, idx):
@@ -63,15 +71,18 @@ def _row_x(c, ge, inb=None):
     return (m + 1) * ge + run
 
 
-def _phase1_fill(a_t, b_t, a_len, cm_flat, gO, gE, la_max: int, w: int):
+def _phase1_fill(a_t, b_t, a_len, b_len, cm_flat, gO, gE, la_max: int, w: int):
     """Banded SW of A vs B[0:w], band-transposed layout.
 
-    a_t [la_max, P] int32 codes, b_t [lb_max, P].  Returns flattened
-    matrices [ (la_max+1)*(w+1), P ] and the running max/location.
+    Returns dirs [(la_max+1)*(w+1), P] int8 traceback codes and the
+    running max / (row, col) location, restricted to rows <= a_len and
+    (for the full-SW case where w == lb_max) columns <= b_len.
     """
     p = a_t.shape[1]
     b_pref = b_t[:w]  # [w, P]
     zrow = jnp.zeros((w + 1, p), jnp.int32)
+    cols = jnp.arange(1, w + 1, dtype=jnp.int32)[:, None]
+    colmask = cols <= b_len[None, :]  # [w, P]
 
     def step(carry, i):
         mp, xp, yp, best, bi, bj = carry
@@ -88,56 +99,72 @@ def _phase1_fill(a_t, b_t, a_len, cm_flat, gO, gE, la_max: int, w: int):
         )
         c = _max3(m_new[:-1] + gO, y_new[:-1] + gO, jnp.zeros((w, p), jnp.int32))
         x_new = jnp.concatenate([zero, _row_x(c, gE)], axis=0)
+        dirs = _dir_code(m_new, x_new, y_new)
         row_t = _max3(m_new, x_new, y_new)[1:]  # [w, P]
+        row_t = jnp.where(colmask, row_t, _NEG)
         rb = jnp.max(row_t, axis=0)
         jb = jnp.argmax(row_t == rb[None, :], axis=0).astype(jnp.int32) + 1
         upd = (i <= a_len) & (rb > best)
         best = jnp.where(upd, rb, best)
         bi = jnp.where(upd, i, bi)
         bj = jnp.where(upd, jb, bj)
-        return (m_new, x_new, y_new, best, bi, bj), (m_new, x_new, y_new)
+        return (m_new, x_new, y_new, best, bi, bj), dirs
 
     init = (
         zrow, zrow, zrow,
         jnp.zeros((p,), jnp.int32), jnp.zeros((p,), jnp.int32),
         jnp.zeros((p,), jnp.int32),
     )
-    (mf, xf, yf, best, bi, bj), rows = jax.lax.scan(
-        step, init, jnp.arange(1, la_max + 1, dtype=jnp.int32)
+    (mf, xf, yf, best, bi, bj), dir_rows = jax.lax.scan(
+        step, init, jnp.arange(1, la_max + 1, dtype=jnp.int32), unroll=8
     )
-
-    def stack(r):  # [la_max, w+1, P] -> [(la_max+1)*(w+1), P]
-        full = jnp.concatenate([jnp.zeros((1, w + 1, p), jnp.int32), r], axis=0)
-        return full.reshape((la_max + 1) * (w + 1), p)
-
-    return stack(rows[0]), stack(rows[1]), stack(rows[2]), best, bi, bj
+    dirs = jnp.concatenate(
+        [jnp.zeros((1, w + 1, p), jnp.int32), dir_rows], axis=0
+    ).reshape((la_max + 1) * (w + 1), p)
+    return dirs, best, bi, bj
 
 
-def _traceback_moves(Mf, Xf, Yf, cols: int, i0, j0, active0, steps: int):
-    """Phase-1 style traceback: only coordinate moves, no char counting.
-    Mf/Xf/Yf are flattened [R*cols, P]."""
+def _traceback(
+    dirs, cols: int, i0, j0, active0, steps: int,
+    *, moves, count=None,
+):
+    """Step-locked batch traceback over per-cell direction codes.
 
-    def cell(i, j):
-        f = i * cols + j
-        return _flat_gather(Mf, f), _flat_gather(Xf, f), _flat_gather(Yf, f)
+    moves(branch) -> (di, dj) move deltas per branch {0:M, 1:X, 2:Y}.
+    count: optional (pa_fn, pb_fn) giving per-step chars for c/e counts.
+    Returns final (i, j) and, when counting, (correct, error, steps).
+    """
+    p = i0.shape[0]
+    z = jnp.zeros((p,), jnp.int32)
+
+    code0 = _flat_gather(dirs, i0 * cols + j0)
 
     def step(state, _):
-        i, j, active = state
-        mv, xv, yv = cell(i, j)
-        mx = _max3(mv, xv, yv)
-        is_m = active & (mv == mx)
-        is_x = active & ~is_m & (xv == mx)
-        is_y = active & ~is_m & ~is_x
-        i_n = i - (is_m | is_y).astype(jnp.int32)
-        j_n = j - (is_m | is_x).astype(jnp.int32)
+        i, j, c, e, n, active, code = state
+        branch = (code & 3).astype(jnp.int32)
+        is_m = active & (branch == 0)
+        is_x = active & (branch == 1)
+        is_y = active & (branch == 2)
+        if count is not None:
+            pa_gap, pb_gap, eq = count(i, j)
+            c = c + (is_m & eq).astype(jnp.int32)
+            e = e + ((is_m & ~eq) | is_x | is_y).astype(jnp.int32)
+        n = n + active.astype(jnp.int32)
+        di_m, dj_m = moves[0]
+        di_x, dj_x = moves[1]
+        di_y, dj_y = moves[2]
+        i_n = i + jnp.where(is_m, di_m, 0) + jnp.where(is_x, di_x, 0) + jnp.where(is_y, di_y, 0)
+        j_n = j + jnp.where(is_m, dj_m, 0) + jnp.where(is_x, dj_x, 0) + jnp.where(is_y, dj_y, 0)
         i = jnp.where(active, i_n, i)
         j = jnp.where(active, j_n, j)
-        mv2, xv2, yv2 = cell(i, j)
-        active = active & (_max3(mv2, xv2, yv2) > 0)
-        return (i, j, active), None
+        code = _flat_gather(dirs, i * cols + j)
+        active = active & ((code & 4) != 0)
+        return (i, j, c, e, n, active, code), None
 
-    (i, j, _), _ = jax.lax.scan(step, (i0, j0, active0), None, length=steps)
-    return i, j
+    (i, j, c, e, n, _, _), _ = jax.lax.scan(
+        step, (i0, j0, z, z, z, active0, code0), None, length=steps, unroll=8
+    )
+    return i, j, c, e, n
 
 
 @partial(jax.jit, static_argnames=("la_max", "lb_max", "width"))
@@ -165,12 +192,16 @@ def fast_dovetail_batch(
 
     dud_short = b_len < w  # reference would index past B (BioLibs.scala:418)
 
-    # ---- phase 1: banded SW anchor ----
-    M1, X1, Y1, best1, bi, bj = _phase1_fill(
-        a_t, b_t, a_len, cm_flat, gO, gE, la_max, w
+    # ---- phase 1: banded SW anchor (band always fully inside B) ----
+    dirs1, best1, bi, bj = _phase1_fill(
+        a_t, b_t, a_len, jnp.full((p,), w, jnp.int32), cm_flat, gO, gE,
+        la_max, w,
     )
     act1 = (best1 > 0) & ~dud_short
-    fi, fj = _traceback_moves(M1, X1, Y1, w + 1, bi, bj, act1, la_max + w + 2)
+    fi, fj, _, _, _ = _traceback(
+        dirs1, w + 1, bi, bj, act1, la_max + w + 2,
+        moves={0: (-1, -1), 1: (0, -1), 2: (-1, 0)},
+    )
     dud = ~act1 | (fj != 0)
     dove_start = fi
     dove_len = a_len - dove_start
@@ -183,12 +214,12 @@ def fast_dovetail_batch(
     def step2(carry, u):
         mp, xp, yp, best, bu, bk = carry
         i = u + dove_start  # [P]
-        j = ks - zero_row + u  # [w+1, 1] -> same for all pairs
+        j = ks - zero_row + u  # [w+1, 1] — same for all pairs
         jb = jnp.broadcast_to(j, (w + 1, p))
         inb = (u <= dove_len)[None, :] & (jb >= 1) & (jb <= b_len[None, :])
         a_code = jnp.take_along_axis(
             a_t, jnp.clip(i - 1, 0, la_max - 1)[None, :], axis=0
-        )[0]  # [P]
+        )[0]
         b_code = jnp.take(b_t, jnp.clip(j[:, 0] - 1, 0, lb_max - 1), axis=0)
         sub = cm_flat[a_code[None, :] * 4 + b_code]  # [w+1, P]
         m_new = jnp.where(inb, sub + _max3(mp, yp, jnp.maximum(xp, 0)), 0)
@@ -204,6 +235,7 @@ def fast_dovetail_batch(
         x_band = _row_x(c, gE, inb=inb[1:])
         x_new = jnp.concatenate([jnp.zeros((1, p), jnp.int32), x_band], axis=0)
         x_new = jnp.where(inb & (ks != 0), x_new, 0)
+        dirs = _dir_code(m_new, x_new, y_new)
         row_t = _max3(m_new, x_new, y_new)
         rb = jnp.max(row_t, axis=0)
         kb = jnp.argmax(row_t == rb[None, :], axis=0).astype(jnp.int32)
@@ -211,64 +243,38 @@ def fast_dovetail_batch(
         best = jnp.where(upd, rb, best)
         bu = jnp.where(upd, u, bu)
         bk = jnp.where(upd, kb, bk)
-        return (m_new, x_new, y_new, best, bu, bk), (m_new, x_new, y_new)
+        return (m_new, x_new, y_new, best, bu, bk), dirs
 
     init2 = (
         zrow, zrow, zrow,
         jnp.zeros((p,), jnp.int32), jnp.zeros((p,), jnp.int32),
         jnp.zeros((p,), jnp.int32),
     )
-    (m2f, x2f, y2f, best2, bu, bk), rows2 = jax.lax.scan(
-        step2, init2, jnp.arange(1, la_max + 1, dtype=jnp.int32)
+    (m2f, x2f, y2f, best2, bu, bk), dir_rows2 = jax.lax.scan(
+        step2, init2, jnp.arange(1, la_max + 1, dtype=jnp.int32), unroll=8
     )
-
-    def stack(r):
-        full = jnp.concatenate([jnp.zeros((1, w + 1, p), jnp.int32), r], axis=0)
-        return full.reshape((la_max + 1) * (w + 1), p)
-
-    M2, X2, Y2 = stack(rows2[0]), stack(rows2[1]), stack(rows2[2])
+    dirs2 = jnp.concatenate(
+        [jnp.zeros((1, w + 1, p), jnp.int32), dir_rows2], axis=0
+    ).reshape((la_max + 1) * (w + 1), p)
 
     # ---- phase 2 traceback with match/error counting ----
     act2 = (best2 > 0) & ~dud
-    cols = w + 1
 
-    def cell2(u, k):
-        f = u * cols + k
-        return _flat_gather(M2, f), _flat_gather(X2, f), _flat_gather(Y2, f)
-
-    a_flat = a_bases  # [P, la_max] int8
-    b_flat = b_bases
-
-    def step_tb(state, _):
-        u, k, c, e, steps, active = state
-        mv, xv, yv = cell2(u, k)
-        mx = _max3(mv, xv, yv)
-        is_m = active & (mv == mx)
-        is_x = active & ~is_m & (xv == mx)
-        is_y = active & ~is_m & ~is_x
+    def count(u, k):
         i = u + dove_start
         j = k - zero_row + u
         pa = jnp.take_along_axis(
-            a_flat, jnp.clip(i - 1, 0, la_max - 1)[:, None], axis=1
+            a_bases, jnp.clip(i - 1, 0, la_max - 1)[:, None], axis=1
         )[:, 0]
         pb = jnp.take_along_axis(
-            b_flat, jnp.clip(j - 1, 0, lb_max - 1)[:, None], axis=1
+            b_bases, jnp.clip(j - 1, 0, lb_max - 1)[:, None], axis=1
         )[:, 0]
-        eq = pa == pb
-        c = c + (is_m & eq).astype(jnp.int32)
-        e = e + ((is_m & ~eq) | is_x | is_y).astype(jnp.int32)
-        steps = steps + active.astype(jnp.int32)
-        u_n = u - (is_m | is_y).astype(jnp.int32)
-        k_n = k - is_x.astype(jnp.int32) + is_y.astype(jnp.int32)
-        u = jnp.where(active, u_n, u)
-        k = jnp.where(active, k_n, k)
-        mv2, xv2, yv2 = cell2(u, k)
-        active = active & (_max3(mv2, xv2, yv2) > 0)
-        return (u, k, c, e, steps, active), None
+        return None, None, pa == pb
 
-    z = jnp.zeros((p,), jnp.int32)
-    (uf, kf, corr, err, steps, _), _ = jax.lax.scan(
-        step_tb, (bu, bk, z, z, z, act2), None, length=la_max + w + 2
+    uf, kf, corr, err, steps = _traceback(
+        dirs2, w + 1, bu, bk, act2, la_max + w + 2,
+        moves={0: (-1, 0), 1: (0, -1), 2: (-1, 1)},
+        count=count,
     )
 
     dud_all = dud | (best2 <= 0)
@@ -314,60 +320,25 @@ def local_align_batch(
     a_t = a_bases.astype(jnp.int32).T
     b_t = b_bases.astype(jnp.int32).T
 
-    M, X, Y, _, _, _ = _phase1_fill(a_t, b_t, a_len, cm_flat, gO, gE, la_max, w)
-    cols = w + 1
-    # re-derive the running max restricted to valid rows/columns: the fill
-    # computed cells beyond each pair's b_len from pad codes
-    rc = jnp.arange((la_max + 1) * cols, dtype=jnp.int32)
-    rows_idx = rc // cols
-    cols_idx = rc % cols
-    t = _max3(M, X, Y)
-    ok = (
-        (rows_idx[:, None] >= 1)
-        & (rows_idx[:, None] <= a_len[None, :])
-        & (cols_idx[:, None] >= 1)
-        & (cols_idx[:, None] <= b_len[None, :])
+    dirs, best, bi, bj = _phase1_fill(
+        a_t, b_t, a_len, b_len, cm_flat, gO, gE, la_max, w
     )
-    t = jnp.where(ok, t, _NEG)
-    best = jnp.max(t, axis=0)
-    arg = jnp.argmax(t == best[None, :], axis=0).astype(jnp.int32)
-    bi = arg // cols
-    bj = arg % cols
-
+    cols = w + 1
     act = best > 0
 
-    def cell(i, j):
-        f = i * cols + j
-        return _flat_gather(M, f), _flat_gather(X, f), _flat_gather(Y, f)
-
-    def step_tb(state, _):
-        i, j, c, e, steps, active = state
-        mv, xv, yv = cell(i, j)
-        mx = _max3(mv, xv, yv)
-        is_m = active & (mv == mx)
-        is_x = active & ~is_m & (xv == mx)
-        is_y = active & ~is_m & ~is_x
+    def count(i, j):
         pa = jnp.take_along_axis(
             a_bases, jnp.clip(i - 1, 0, la_max - 1)[:, None], axis=1
         )[:, 0]
         pb = jnp.take_along_axis(
             b_bases, jnp.clip(j - 1, 0, lb_max - 1)[:, None], axis=1
         )[:, 0]
-        eq = pa == pb
-        c = c + (is_m & eq).astype(jnp.int32)
-        e = e + ((is_m & ~eq) | is_x | is_y).astype(jnp.int32)
-        steps = steps + active.astype(jnp.int32)
-        i_n = i - (is_m | is_y).astype(jnp.int32)
-        j_n = j - (is_m | is_x).astype(jnp.int32)
-        i = jnp.where(active, i_n, i)
-        j = jnp.where(active, j_n, j)
-        mv2, xv2, yv2 = cell(i, j)
-        active = active & (_max3(mv2, xv2, yv2) > 0)
-        return (i, j, c, e, steps, active), None
+        return None, None, pa == pb
 
-    z = jnp.zeros((p,), jnp.int32)
-    (fi, fj, corr, err, steps, _), _ = jax.lax.scan(
-        step_tb, (bi, bj, z, z, z, act), None, length=la_max + lb_max + 2
+    fi, fj, corr, err, steps = _traceback(
+        dirs, cols, bi, bj, act, la_max + lb_max + 2,
+        moves={0: (-1, -1), 1: (0, -1), 2: (-1, 0)},
+        count=count,
     )
     tot = (corr + err).astype(jnp.float32)
     err_ratio = corr.astype(jnp.float32) / tot

@@ -185,3 +185,69 @@ def test_device_end_to_end_quadratic(crp_seqs, golden_records):
     assert {(r.id_a, r.id_b) for r in golden_records} <= got
     extra = got - {(r.id_a, r.id_b) for r in golden_records}
     assert len(extra) == 37  # reversed-direction overlaps SW keeps
+
+
+def test_candidate_pairs_repeat_heavy_tiers():
+    """Repeat-rich reads force the multi-tier row grouping; device counts
+    must still match the oracle exactly."""
+    rng = np.random.RandomState(11)
+    bases = "ACTG"
+    genome = "".join(bases[i] for i in rng.randint(0, 4, 400))
+    seqs = []
+    for i in range(24):
+        start = (i * 12) % 280
+        seqs.append(Sequence(i + 1, genome[start : start + 120]))
+    # poly-A monsters: huge per-read raw expansion (row tier escalation)
+    seqs.append(Sequence(25, "A" * 120))
+    seqs.append(Sequence(26, "A" * 60 + genome[:60]))
+    s = AlignSettings(kmer_size=8, min_collisions=1, max_collisions=10**6)
+    ov = Overlapper(s)
+    from sequence_aligner_tpu.ops.encode import encode_reads as enc
+
+    bases_arr, lengths = enc(seqs)
+    occ = ov._occurrences(bases_arr, lengths)
+    lead, trail = ov._candidates(occ, bases_arr, lengths)
+    t = KmerTableOracle()
+    for q in seqs:
+        t.add_sequence(q, s.kmer_size)
+    assert sorted(zip(lead.tolist(), trail.tolist())) == t.candidate_pairs(s)
+
+
+def test_candidate_pairs_count_values_match_oracle(crp_seqs):
+    """Not just the pair set: the collision counts themselves must match."""
+    s = AlignSettings.amos_parity()
+    ov = Overlapper(s)
+    from sequence_aligner_tpu.ops.encode import encode_reads as enc
+
+    bases, lengths = enc(crp_seqs[:64])
+    occ = ov._occurrences(bases, lengths)
+    import jax.numpy as jnp
+    from sequence_aligner_tpu.ops.pairgen import candidate_pairs_device
+    from sequence_aligner_tpu.ops.plan import plan_pair_capacities
+
+    plan = plan_pair_capacities(bases, lengths, s)
+    n = bases.shape[0]
+    gl = np.full(n + 1, -1, np.int32)
+    gl[1:] = np.arange(n, dtype=np.int32)
+    gr = np.arange(1, n + 1, dtype=np.int32)
+    out = candidate_pairs_device(
+        occ, jnp.asarray(gl), jnp.asarray(gr),
+        head_edge=jnp.float32(s.kmer_head_edge),
+        tail_edge=jnp.float32(s.kmer_tail_edge),
+        mid_lead=jnp.float32(s.kmer_mid_lead_edge),
+        mid_tail=jnp.float32(s.kmer_mid_tail_edge),
+        min_collisions=jnp.int32(1), max_collisions=jnp.int32(10**9),
+        n_rows=n, occ_max=128,
+        row_cap=max(256, 1 << (int(plan["row_max"]).bit_length())),
+        cap_out=1 << 14,
+    )
+    k = int(out["n_out"])
+    got = {
+        (int(out["lead"][i]), int(out["trail"][i])): int(out["count"][i])
+        for i in range(k)
+    }
+    t = KmerTableOracle()
+    for q in crp_seqs[:64]:
+        t.add_sequence(q, s.kmer_size)
+    want = t.calc_pair_data(s)
+    assert got == dict(want)
