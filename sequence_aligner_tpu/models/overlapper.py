@@ -58,10 +58,18 @@ class Overlapper:
         *,
         fast_dovetail: bool = True,
         batch_size: int = 4096,
+        use_pallas: bool | None = None,
     ):
         self.s = settings
         self.fast_dovetail = fast_dovetail
         self.batch_size = batch_size
+        if use_pallas is None:
+            import jax
+
+            # Pallas fills are the fast path on real TPU; the interpret-mode
+            # fallback on CPU is slower than the lax scans
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
         self.stats = OverlapStats()
 
     # ---- stage 1+2: encode + kmer occurrences ----
@@ -192,7 +200,21 @@ class Overlapper:
                     max_ignore=jnp.int32(s.max_ignore),
                     la_max=bases.shape[1], lb_max=bases.shape[1],
                 )
-                if self.fast_dovetail:
+                if self.fast_dovetail and self.use_pallas:
+                    from sequence_aligner_tpu.ops.align_pallas import (
+                        fast_dovetail_batch_pallas,
+                    )
+
+                    pkw = dict(kw)
+                    pkw.pop("cm")
+                    res = fast_dovetail_batch_pallas(
+                        jnp.asarray(bases[a_idx]), jnp.asarray(lengths[a_idx]),
+                        jnp.asarray(bases[b_idx]), jnp.asarray(lengths[b_idx]),
+                        width=w,
+                        cm_tuple=tuple(int(x) for x in s.cost_matrix.reshape(-1)),
+                        pblk=min(1024, bs), **pkw,
+                    )
+                elif self.fast_dovetail:
                     res = fast_dovetail_batch(
                         jnp.asarray(bases[a_idx]), jnp.asarray(lengths[a_idx]),
                         jnp.asarray(bases[b_idx]), jnp.asarray(lengths[b_idx]),

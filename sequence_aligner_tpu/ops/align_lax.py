@@ -126,12 +126,14 @@ def _phase1_fill(a_t, b_t, a_len, b_len, cm_flat, gO, gE, la_max: int, w: int):
 
 def _traceback(
     dirs, cols: int, i0, j0, active0, steps: int,
-    *, moves, count=None,
+    *, moves, count=None, count_from_code: bool = False,
 ):
     """Step-locked batch traceback over per-cell direction codes.
 
     moves(branch) -> (di, dj) move deltas per branch {0:M, 1:X, 2:Y}.
-    count: optional (pa_fn, pb_fn) giving per-step chars for c/e counts.
+    count: optional fn(i, j) -> (_, _, chars-equal) for c/e counts;
+    count_from_code reads the equality from bit 3 of the cell code
+    (Pallas fills embed it) instead.
     Returns final (i, j) and, when counting, (correct, error, steps).
     """
     p = i0.shape[0]
@@ -145,7 +147,11 @@ def _traceback(
         is_m = active & (branch == 0)
         is_x = active & (branch == 1)
         is_y = active & (branch == 2)
-        if count is not None:
+        if count_from_code:
+            eq = (code & 8) != 0
+            c = c + (is_m & eq).astype(jnp.int32)
+            e = e + ((is_m & ~eq) | is_x | is_y).astype(jnp.int32)
+        elif count is not None:
             pa_gap, pb_gap, eq = count(i, j)
             c = c + (is_m & eq).astype(jnp.int32)
             e = e + ((is_m & ~eq) | is_x | is_y).astype(jnp.int32)
