@@ -34,6 +34,27 @@ class PipelineResult:
         return len(self.contigs)
 
 
+def unlock_bank(bank_dir: str) -> int:
+    """Clear stale AMOS bank locks (the reference ships a Perl
+    ``bank-unlock`` for this, amos/bank-unlock:36-60): removes ``*.lck``
+    files and strips the ``locks = ...`` line content in ``*.ifo``
+    headers.  Returns the number of locks cleared."""
+    import glob
+    import re
+
+    n = 0
+    for lck in glob.glob(os.path.join(bank_dir, "*.lck")):
+        os.remove(lck)
+        n += 1
+    for ifo in glob.glob(os.path.join(bank_dir, "*.ifo")):
+        text = open(ifo).read()
+        new = re.sub(r"(?m)^(locks = ).+$", r"\1", text)
+        if new != text:
+            open(ifo, "w").write(new)
+            n += 1
+    return n
+
+
 def _run(cmd: list[str], **kw) -> None:
     r = subprocess.run(
         cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, **kw

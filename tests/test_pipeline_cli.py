@@ -90,3 +90,42 @@ def test_cli_test_modes_run():
     assert r.returncode == 0 and "id : 1" in r.stdout
     r = _cli("-i", CRP_SEQ, "--bench-fasta-read")
     assert r.returncode == 0 and "Read 223 sequences" in r.stdout
+
+
+def test_cli_test_kmer_cover_smoke(tmp_path):
+    # small input so the 0..25 sweep stays fast
+    p = tmp_path / "t.seq"
+    p.write_text(">a\nACGTACGTACGTACGTACGT\n>b\nCGTACGTACGTACGTACGTA\n")
+    r = _cli("-i", str(p), "--test-kmer-cover")
+    assert r.returncode == 0
+    assert "Kmer Size : 12" in r.stdout and "uniques" in r.stdout
+
+
+def test_cli_dispatch_and_alignment_modes():
+    r = _cli("-i", CRP_SEQ, "--test-dispatch-collisions", "--min-collisions", "40")
+    assert r.returncode == 0 and "Dispatched Coll" in r.stdout
+    r = _cli("-i", CRP_SEQ, "--test-block-dispatch", "--min-collisions", "40")
+    assert r.returncode == 0 and "Histogram Of Relations" in r.stdout
+
+
+def test_cli_hoxd_matrix_flag(tmp_path):
+    out = str(tmp_path / "h.ovl")
+    r = _cli("-i", CRP_SEQ, "-o", out, "--amos-parity", "--engine", "oracle",
+             "-H", "/root/reference/amos/HOXD1.txt")
+    assert r.returncode == 0
+    assert open(out).read() == open(
+        "/root/reference/amos/small/crp177.ovl"
+    ).read()
+
+
+def test_unlock_bank(tmp_path):
+    from sequence_aligner_tpu.pipeline.driver import unlock_bank
+
+    bnk = tmp_path / "x.bnk"
+    bnk.mkdir()
+    (bnk / "RED.lck").write_text("pid 1234")
+    (bnk / "RED.ifo").write_text("____RED BANK____\nlocks = r 1234\nfoo\n")
+    n = unlock_bank(str(bnk))
+    assert n == 2
+    assert not (bnk / "RED.lck").exists()
+    assert "locks = \n" in (bnk / "RED.ifo").read_text()
