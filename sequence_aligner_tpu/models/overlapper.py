@@ -212,7 +212,7 @@ class Overlapper:
                         jnp.asarray(bases[b_idx]), jnp.asarray(lengths[b_idx]),
                         width=w,
                         cm_tuple=tuple(int(x) for x in s.cost_matrix.reshape(-1)),
-                        pblk=min(1024, bs), **pkw,
+                        pblk=min(256, bs), **pkw,
                     )
                 elif self.fast_dovetail:
                     res = fast_dovetail_batch(

@@ -59,10 +59,12 @@ def _max3(a, b, c):
     return jnp.maximum(a, jnp.maximum(b, c))
 
 
-def _dir_code(mv, xv, yv, eq):
+def _dir_code(mv, xv, yv, eq8):
+    """eq8: int32 tensor, 8 where the chars match else 0 (kept integer —
+    Mosaic rejects i1 vector bitcasts that bool concats can trigger)."""
     mx = _max3(mv, xv, yv)
     branch = jnp.where(mv == mx, 0, jnp.where(xv == mx, 1, 2))
-    return branch | jnp.where(mx > 0, 4, 0) | jnp.where(eq, 8, 0)
+    return branch | jnp.where(mx > 0, 4, 0) | eq8
 
 
 def _phase1_kernel(
@@ -75,7 +77,10 @@ def _phase1_kernel(
     mp[:] = jnp.zeros((cols, pblk), jnp.int32)
     xp[:] = jnp.zeros((cols, pblk), jnp.int32)
     yp[:] = jnp.zeros((cols, pblk), jnp.int32)
-    dirs_ref[0:cols, :] = jnp.zeros((cols, pblk), jnp.int32)
+    # dirs_ref is rank-3 [la_max+1, cols, pblk]: the DP row index lives on
+    # the untiled leading dim so the per-row dynamic store needs no
+    # sublane alignment proof (Mosaic rejects pl.ds(i*cols) when cols % 8)
+    dirs_ref[0] = jnp.zeros((cols, pblk), jnp.int32)
     b_codes = b_ref[0:w, :]  # [w, P]
     alen = alen_ref[0, :]
 
@@ -84,7 +89,7 @@ def _phase1_kernel(
         a_code = a_ref[i - 1, :]  # [P]
         idx = a_code[None, :] * 4 + b_codes
         sub = _sub_scores(idx, cm_tuple)
-        eq = a_code[None, :] == b_codes
+        eq8 = jnp.where(a_code[None, :] == b_codes, 8, 0)
         m_p, x_p, y_p = mp[:], xp[:], yp[:]
         zero = jnp.zeros((1, pblk), jnp.int32)
         m_new = jnp.concatenate(
@@ -100,8 +105,8 @@ def _phase1_kernel(
         v = c - karr * gE
         run = _band_cummax(v, w)
         x_new = jnp.concatenate([zero, (karr + 1) * gE + run], axis=0)
-        eq_full = jnp.concatenate([jnp.zeros((1, pblk), jnp.bool_), eq], axis=0)
-        dirs_ref[pl.ds(i * cols, cols), :] = _dir_code(m_new, x_new, y_new, eq_full)
+        eq_full = jnp.concatenate([jnp.zeros((1, pblk), jnp.int32), eq8], axis=0)
+        dirs_ref[i] = _dir_code(m_new, x_new, y_new, eq_full)
         row_t = _max3(m_new, x_new, y_new)[1:]
         rb = jnp.max(row_t, axis=0)
         kia = jax.lax.broadcasted_iota(jnp.int32, row_t.shape, 0)
@@ -123,29 +128,32 @@ def _phase1_kernel(
 
 
 def _phase2_kernel(
-    a_ref, bpad_ref, dlen_ref, blen_ref, dirs_ref, best_ref, bu_ref, bk_ref,
+    a_ref, bwin_ref, dlen_ref, blen_ref, dirs_ref, best_ref, bu_ref, bk_ref,
     mp, xp, yp,
     *, la_max: int, w: int, zero_row: int, gO: int, gE: int, cm_tuple,
 ):
     """Rotated band DP.  a_ref is the dove-shifted A (row u holds
-    A[u + dove_start - 1], zero-padded); bpad_ref row (k + u) holds
-    B[k - zero_row + u - 1] thanks to caller padding of zero_row + 1 rows."""
+    A[u + dove_start - 1], zero-padded); bwin_ref is rank-3
+    [la_max+1, cols, pblk] with bwin[u, k] = B[k - zero_row + u - 1]
+    (caller pregathers the sliding window so the per-row load is a
+    dynamic index on the untiled leading dim — Mosaic cannot prove
+    sublane alignment for a pl.ds(u, cols) window load)."""
     pblk = a_ref.shape[1]
     cols = w + 1
     mp[:] = jnp.zeros((cols, pblk), jnp.int32)
     xp[:] = jnp.zeros((cols, pblk), jnp.int32)
     yp[:] = jnp.zeros((cols, pblk), jnp.int32)
-    dirs_ref[0:cols, :] = jnp.zeros((cols, pblk), jnp.int32)
+    dirs_ref[0] = jnp.zeros((cols, pblk), jnp.int32)
     dlen = dlen_ref[0, :]
     blen = blen_ref[0, :]
 
     def body(u, carry):
         best, bu, bk = carry
         a_code = a_ref[u - 1, :]  # pre-shifted: A[u + ds - 1]
-        b_codes = bpad_ref[pl.ds(u, cols), :]  # rows j-1 for k = 0..w
+        b_codes = bwin_ref[u]  # [cols, pblk]: rows j-1 for k = 0..w
         idx = a_code[None, :] * 4 + b_codes
         sub = _sub_scores(idx, cm_tuple)
-        eq = a_code[None, :] == b_codes
+        eq8 = jnp.where(a_code[None, :] == b_codes, 8, 0)
         karr = jax.lax.broadcasted_iota(jnp.int32, (cols, pblk), 0)
         j = karr - zero_row + u
         inb = (u <= dlen)[None, :] & (j >= 1) & (j <= blen[None, :])
@@ -165,7 +173,7 @@ def _phase2_kernel(
         x_band = (k1 + 1) * gE + run
         x_new = jnp.concatenate([zrow1, x_band], axis=0)
         x_new = jnp.where(inb & (karr != 0), x_new, 0)
-        dirs_ref[pl.ds(u * cols, cols), :] = _dir_code(m_new, x_new, y_new, eq)
+        dirs_ref[u] = _dir_code(m_new, x_new, y_new, eq8)
         row_t = _max3(m_new, x_new, y_new)
         rb = jnp.max(row_t, axis=0)
         kia = jax.lax.broadcasted_iota(jnp.int32, row_t.shape, 0)
@@ -195,7 +203,7 @@ def _interpret() -> bool:
 @functools.partial(
     jax.jit, static_argnames=("la_max", "w", "gO", "gE", "cm_tuple", "pblk")
 )
-def phase1_fill_pallas(a_t, b_t, a_len, *, la_max, w, gO, gE, cm_tuple, pblk=1024):
+def phase1_fill_pallas(a_t, b_t, a_len, *, la_max, w, gO, gE, cm_tuple, pblk=256):
     """a_t [la_max, P] int32, b_t [>=w, P], a_len [P].
     Returns dirs [(la_max+1)*(w+1), P], best/bi/bj [P]."""
     p = a_t.shape[1]
@@ -213,13 +221,13 @@ def phase1_fill_pallas(a_t, b_t, a_len, *, la_max, w, gO, gE, cm_tuple, pblk=102
             pl.BlockSpec((1, pblk), lambda i: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec(((la_max + 1) * cols, pblk), lambda i: (0, i)),
+            pl.BlockSpec((la_max + 1, cols, pblk), lambda i: (0, 0, i)),
             pl.BlockSpec((1, pblk), lambda i: (0, i)),
             pl.BlockSpec((1, pblk), lambda i: (0, i)),
             pl.BlockSpec((1, pblk), lambda i: (0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(((la_max + 1) * cols, p), jnp.int32),
+            jax.ShapeDtypeStruct((la_max + 1, cols, p), jnp.int32),
             jax.ShapeDtypeStruct((1, p), jnp.int32),
             jax.ShapeDtypeStruct((1, p), jnp.int32),
             jax.ShapeDtypeStruct((1, p), jnp.int32),
@@ -231,7 +239,7 @@ def phase1_fill_pallas(a_t, b_t, a_len, *, la_max, w, gO, gE, cm_tuple, pblk=102
         ],
         interpret=_interpret(),
     )(a_t, b_t, a_len[None, :])
-    return dirs, best[0], bi[0], bj[0]
+    return dirs.reshape((la_max + 1) * cols, p), best[0], bi[0], bj[0]
 
 
 @functools.partial(
@@ -240,12 +248,20 @@ def phase1_fill_pallas(a_t, b_t, a_len, *, la_max, w, gO, gE, cm_tuple, pblk=102
 )
 def phase2_fill_pallas(
     a_shift, b_pad, dove_len, b_len, *,
-    la_max, w, zero_row, gO, gE, cm_tuple, pblk=1024,
+    la_max, w, zero_row, gO, gE, cm_tuple, pblk=256,
 ):
     """a_shift [la_max, P] (row u-1 holds A[u+ds-1], clamped reads OK),
     b_pad [la_max + w + zero_row + 2, P] with row (k+u) = B[k-zr+u-1]."""
     p = a_shift.shape[1]
     cols = w + 1
+    # pregather the per-row sliding windows: bwin[u, k] = b_pad[u + k]
+    win_idx = (
+        jnp.arange(la_max + 1, dtype=jnp.int32)[:, None]
+        + jnp.arange(cols, dtype=jnp.int32)[None, :]
+    )
+    b_win = jnp.take(b_pad, win_idx.reshape(-1), axis=0).reshape(
+        la_max + 1, cols, p
+    )
     grid = (p // pblk,)
     kernel = functools.partial(
         _phase2_kernel, la_max=la_max, w=w, zero_row=zero_row,
@@ -256,18 +272,18 @@ def phase2_fill_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((la_max, pblk), lambda i: (0, i)),
-            pl.BlockSpec((b_pad.shape[0], pblk), lambda i: (0, i)),
+            pl.BlockSpec((la_max + 1, cols, pblk), lambda i: (0, 0, i)),
             pl.BlockSpec((1, pblk), lambda i: (0, i)),
             pl.BlockSpec((1, pblk), lambda i: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec(((la_max + 1) * cols, pblk), lambda i: (0, i)),
+            pl.BlockSpec((la_max + 1, cols, pblk), lambda i: (0, 0, i)),
             pl.BlockSpec((1, pblk), lambda i: (0, i)),
             pl.BlockSpec((1, pblk), lambda i: (0, i)),
             pl.BlockSpec((1, pblk), lambda i: (0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(((la_max + 1) * cols, p), jnp.int32),
+            jax.ShapeDtypeStruct((la_max + 1, cols, p), jnp.int32),
             jax.ShapeDtypeStruct((1, p), jnp.int32),
             jax.ShapeDtypeStruct((1, p), jnp.int32),
             jax.ShapeDtypeStruct((1, p), jnp.int32),
@@ -278,8 +294,8 @@ def phase2_fill_pallas(
             pltpu.VMEM((cols, pblk), jnp.int32),
         ],
         interpret=_interpret(),
-    )(a_shift, b_pad, dove_len[None, :], b_len[None, :])
-    return dirs, best[0], bu[0], bk[0]
+    )(a_shift, b_win, dove_len[None, :], b_len[None, :])
+    return dirs.reshape((la_max + 1) * cols, p), best[0], bu[0], bk[0]
 
 
 @functools.partial(
@@ -289,7 +305,7 @@ def phase2_fill_pallas(
 def fast_dovetail_batch_pallas(
     a_bases, a_len, b_bases, b_len, *,
     cm_tuple, gO, gE, min_identity, min_overlap, max_ignore,
-    la_max: int, lb_max: int, width: int, pblk: int = 1024,
+    la_max: int, lb_max: int, width: int, pblk: int = 256,
 ):
     """Two-phase banded dovetail alignment with Pallas fills.
 
