@@ -26,10 +26,12 @@ import numpy as np
 from sequence_aligner_tpu.core.records import OverlapRecord, Sequence
 from sequence_aligner_tpu.core.settings import AlignSettings
 from sequence_aligner_tpu.io.fasta import read_fasta
-from sequence_aligner_tpu.ops.align_lax import fast_dovetail_batch, local_align_batch
+from sequence_aligner_tpu.ops.align_lax import (
+    fast_dovetail_batch_idx, local_align_batch_idx,
+)
 from sequence_aligner_tpu.ops.encode import encode_reads
 from sequence_aligner_tpu.ops.kmer import kmer_scan
-from sequence_aligner_tpu.ops.pairgen import candidate_pairs_device
+from sequence_aligner_tpu.ops.pairgen import candidate_pairs_stream
 from sequence_aligner_tpu.ops.plan import plan_pair_capacities
 
 
@@ -94,70 +96,26 @@ class Overlapper:
             mid_lead=jnp.float32(s.kmer_mid_lead_edge),
             mid_tail=jnp.float32(s.kmer_mid_tail_edge),
         )
+        # the host plan knows the exact raw cross-product totals, so the
+        # stream capacities never overflow; only cap_out (distinct pairs in
+        # the collision band) is estimated and retried on overflow
         plan = plan_pair_capacities(bases, lengths, s)
-        n_reads = bases.shape[0]
-        occ_max = _pow2_at_least(plan["occ_max"], 16)
-        row_tot = plan["row_tot"]  # per-read raw slot counts (host, exact)
-
-        # partition reads into row-size tiers so heavy (repeat-rich) reads
-        # get a large row_cap without inflating everyone's arrays; each
-        # tier is processed in fixed-size row chunks to bound HBM (one
-        # compiled program per tier, reused across chunks)
-        tiers = [4096, 16384, 65536, 262144, 1 << 20]
-        # rows_per_call * row_cap entries per buffer; compile time of the
-        # final compaction grows superlinearly in cap_out, so chunks are
-        # kept small enough that cap_out = 2^21 always suffices
-        chunk_budget = 1 << 24
-        all_lead: list[np.ndarray] = []
-        all_trail: list[np.ndarray] = []
-        lo = 0
-        for tier_cap in tiers:
-            sel = np.nonzero((row_tot > lo) & (row_tot <= tier_cap))[0]
-            lo = tier_cap
-            if len(sel) == 0:
-                continue
-            rows_per_call = max(64, chunk_budget // tier_cap)
-            for c0 in range(0, len(sel), rows_per_call):
-                chunk = sel[c0 : c0 + rows_per_call]
-                n_rows = rows_per_call if len(sel) > rows_per_call else (
-                    _pow2_at_least(len(chunk), 64)
-                )
-                group_reads = np.zeros(n_rows, dtype=np.int32)
-                group_reads[: len(chunk)] = chunk + 1  # 1-based read ids
-                group_lookup = np.full(n_reads + 1, -1, dtype=np.int32)
-                group_lookup[chunk + 1] = np.arange(len(chunk), dtype=np.int32)
-                row_cap = tier_cap
-                cap_out = 1 << 21
-                g_occ_max = occ_max
-                while True:
-                    out = candidate_pairs_device(
-                        occ, jnp.asarray(group_lookup),
-                        jnp.asarray(group_reads), **geom,
-                        min_collisions=jnp.int32(s.min_collisions),
-                        max_collisions=jnp.int32(s.max_collisions),
-                        n_rows=n_rows, occ_max=g_occ_max, row_cap=row_cap,
-                        cap_out=cap_out,
-                    )
-                    if not bool(out["overflow"]):
-                        break
-                    if int(out["drop_occ"]) > 0:
-                        g_occ_max *= 2
-                    if int(out["drop_row"]) > 0:
-                        row_cap *= 2
-                    if int(out["n_out"]) > cap_out:
-                        cap_out *= 2
-                k = int(out["n_out"])
-                all_lead.append(np.asarray(out["lead"][:k]))
-                all_trail.append(np.asarray(out["trail"][:k]))
-        if plan["row_max"] > tiers[-1]:
-            raise NotImplementedError(
-                f"a read generates {plan['row_max']} raw pair slots "
-                f"(> {tiers[-1]}); shard by hash prefix first"
+        cap_head = _pow2_at_least(plan["h_total"], 1 << 14)
+        cap_tail = _pow2_at_least(plan["t_total"], 1 << 14)
+        cap_out = min(1 << 21, cap_head + cap_tail)
+        while True:
+            out = candidate_pairs_stream(
+                occ, **geom,
+                min_collisions=jnp.int32(s.min_collisions),
+                max_collisions=jnp.int32(s.max_collisions),
+                cap_head=cap_head, cap_tail=cap_tail, cap_out=cap_out,
             )
-        if not all_lead:
-            return np.zeros(0, np.int32), np.zeros(0, np.int32)
-        lead = np.concatenate(all_lead)
-        trail = np.concatenate(all_trail)
+            if not bool(out["overflow"]):
+                break
+            cap_out *= 2
+        k = int(out["n_out"])
+        lead = np.asarray(out["lead"][:k])
+        trail = np.asarray(out["trail"][:k])
         order = np.lexsort((trail, lead))
         return lead[order], trail[order]
 
@@ -182,6 +140,10 @@ class Overlapper:
         la = lengths[lead - 1]
         widths = s.band_widths(la)
         cm = jnp.asarray(s.cost_matrix)
+        # reads live on device for the whole stage; per-batch traffic is
+        # just the int32 pair-index vectors (row gathers are free on TPU)
+        bases_d = jnp.asarray(bases)
+        lengths_d = jnp.asarray(lengths)
         pending = []  # (chunk_indices, device_result) — fetched after the
         # dispatch loop so the device pipeline stays full
         for w in np.unique(widths):
@@ -191,8 +153,8 @@ class Overlapper:
                 chunk = idxs[lo : lo + bs]
                 pad = bs - len(chunk)
                 ci = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
-                a_idx = lead[ci] - 1
-                b_idx = trail[ci] - 1
+                a_idx = jnp.asarray(lead[ci] - 1)
+                b_idx = jnp.asarray(trail[ci] - 1)
                 kw = dict(
                     cm=cm, gO=s.gap_open, gE=s.gap_extend,
                     min_identity=jnp.float32(s.min_identity),
@@ -202,39 +164,42 @@ class Overlapper:
                 )
                 if self.fast_dovetail and self.use_pallas:
                     from sequence_aligner_tpu.ops.align_pallas import (
-                        fast_dovetail_batch_pallas,
+                        fast_dovetail_batch_pallas_idx,
                     )
 
                     pkw = dict(kw)
                     pkw.pop("cm")
-                    res = fast_dovetail_batch_pallas(
-                        jnp.asarray(bases[a_idx]), jnp.asarray(lengths[a_idx]),
-                        jnp.asarray(bases[b_idx]), jnp.asarray(lengths[b_idx]),
+                    res = fast_dovetail_batch_pallas_idx(
+                        bases_d, lengths_d, a_idx, b_idx,
                         width=w,
                         cm_tuple=tuple(int(x) for x in s.cost_matrix.reshape(-1)),
                         pblk=min(256, bs), **pkw,
                     )
                 elif self.fast_dovetail:
-                    res = fast_dovetail_batch(
-                        jnp.asarray(bases[a_idx]), jnp.asarray(lengths[a_idx]),
-                        jnp.asarray(bases[b_idx]), jnp.asarray(lengths[b_idx]),
-                        width=w, **kw,
+                    res = fast_dovetail_batch_idx(
+                        bases_d, lengths_d, a_idx, b_idx, width=w, **kw
                     )
                 else:
-                    res = local_align_batch(
-                        jnp.asarray(bases[a_idx]), jnp.asarray(lengths[a_idx]),
-                        jnp.asarray(bases[b_idx]), jnp.asarray(lengths[b_idx]),
-                        **kw,
+                    res = local_align_batch_idx(
+                        bases_d, lengths_d, a_idx, b_idx, **kw
                     )
                 pending.append((chunk, res))
                 if len(pending) >= 8:  # bound device-queue depth
-                    c0, r0 = pending.pop(0)
-                    for k in out:
-                        out[k][c0] = np.asarray(r0[k])[: len(c0)]
+                    self._fetch(out, *pending.pop(0))
         for c0, r0 in pending:
-            for k in out:
-                out[k][c0] = np.asarray(r0[k])[: len(c0)]
+            self._fetch(out, c0, r0)
         return out
+
+    @staticmethod
+    def _fetch(out, chunk, res):
+        from sequence_aligner_tpu.ops.align_lax import OUT_KEYS
+
+        host = np.asarray(res)  # single [10, P] transfer
+        for r, k in enumerate(OUT_KEYS):
+            if k == "valid":
+                out[k][chunk] = host[r, : len(chunk)].astype(bool)
+            else:
+                out[k][chunk] = host[r, : len(chunk)]
 
     # ---- full pipeline ----
     def run(self, path_or_seqs: str | list[Sequence]) -> list[OverlapRecord]:

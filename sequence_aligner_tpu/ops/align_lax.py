@@ -36,6 +36,18 @@ import jax.numpy as jnp
 
 _NEG = jnp.int32(-(2**30))
 
+# field order of the stacked [len(OUT_KEYS), P] result the *_idx wrappers
+# return: ONE device array -> ONE host fetch per batch (a remote-device
+# tunnel pays per-transfer latency, so 10 small fetches cost ~10x one)
+OUT_KEYS = (
+    "start_i", "start_j", "end_i", "end_j", "correct", "error",
+    "align_len", "ahg", "bhg", "valid",
+)
+
+
+def stack_result(res):
+    return jnp.stack([res[k].astype(jnp.int32) for k in OUT_KEYS])
+
 
 def _max3(a, b, c):
     return jnp.maximum(a, jnp.maximum(b, c))
@@ -171,6 +183,38 @@ def _traceback(
         step, (i0, j0, z, z, z, active0, code0), None, length=steps, unroll=8
     )
     return i, j, c, e, n
+
+
+@partial(jax.jit, static_argnames=("la_max", "lb_max", "width"))
+def fast_dovetail_batch_idx(
+    bases, lengths, a_idx, b_idx, *,
+    cm, gO, gE, min_identity, min_overlap, max_ignore,
+    la_max: int, lb_max: int, width: int,
+):
+    """Device-resident variant of ``fast_dovetail_batch``: per-pair
+    operands are row-gathered on device from pair-index vectors; returns
+    the OUT_KEYS-stacked [10, P] int32 result (one fetch per batch)."""
+    return stack_result(fast_dovetail_batch(
+        bases[a_idx], lengths[a_idx], bases[b_idx], lengths[b_idx],
+        cm=cm, gO=gO, gE=gE, min_identity=min_identity,
+        min_overlap=min_overlap, max_ignore=max_ignore,
+        la_max=la_max, lb_max=lb_max, width=width,
+    ))
+
+
+@partial(jax.jit, static_argnames=("la_max", "lb_max"))
+def local_align_batch_idx(
+    bases, lengths, a_idx, b_idx, *,
+    cm, gO, gE, min_identity, min_overlap, max_ignore,
+    la_max: int, lb_max: int,
+):
+    """Device-resident variant of ``local_align_batch`` (stacked result)."""
+    return stack_result(local_align_batch(
+        bases[a_idx], lengths[a_idx], bases[b_idx], lengths[b_idx],
+        cm=cm, gO=gO, gE=gE, min_identity=min_identity,
+        min_overlap=min_overlap, max_ignore=max_ignore,
+        la_max=la_max, lb_max=lb_max,
+    ))
 
 
 @partial(jax.jit, static_argnames=("la_max", "lb_max", "width"))

@@ -302,6 +302,30 @@ def phase2_fill_pallas(
     jax.jit,
     static_argnames=("la_max", "lb_max", "width", "cm_tuple", "gO", "gE", "pblk"),
 )
+def fast_dovetail_batch_pallas_idx(
+    bases, lengths, a_idx, b_idx, *,
+    cm_tuple, gO, gE, min_identity, min_overlap, max_ignore,
+    la_max: int, lb_max: int, width: int, pblk: int = 256,
+):
+    """Device-resident variant: reads stay on device ([N, L] uploaded once
+    per run); per-pair operands are row-gathered on device from int32
+    pair-index vectors — avoiding the per-batch host gather + transfer of
+    [P, L] base arrays (expensive over a remote-device tunnel).  Returns
+    the OUT_KEYS-stacked [10, P] int32 result (one fetch per batch)."""
+    from sequence_aligner_tpu.ops.align_lax import stack_result
+
+    return stack_result(fast_dovetail_batch_pallas(
+        bases[a_idx], lengths[a_idx], bases[b_idx], lengths[b_idx],
+        cm_tuple=cm_tuple, gO=gO, gE=gE, min_identity=min_identity,
+        min_overlap=min_overlap, max_ignore=max_ignore,
+        la_max=la_max, lb_max=lb_max, width=width, pblk=pblk,
+    ))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("la_max", "lb_max", "width", "cm_tuple", "gO", "gE", "pblk"),
+)
 def fast_dovetail_batch_pallas(
     a_bases, a_len, b_bases, b_len, *,
     cm_tuple, gO, gE, min_identity, min_overlap, max_ignore,

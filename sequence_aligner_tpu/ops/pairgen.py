@@ -171,6 +171,80 @@ def compact_pairs(fst, snd, cnt, keep, cap_out: int):
 
 
 @partial(
+    jax.jit, static_argnames=("cap_head", "cap_tail", "cap_out")
+)
+def candidate_pairs_stream(
+    occ,
+    *,
+    head_edge,
+    tail_edge,
+    mid_lead,
+    mid_tail,
+    min_collisions,
+    max_collisions,
+    cap_head: int,
+    cap_tail: int,
+    cap_out: int,
+):
+    """Global-stream candidate generation (the single-chip fast path).
+
+    Expands the full edge x middle cross-product stream
+    (``expand_raw_pairs``) and aggregates it with two 2-operand stable
+    1-key sorts + run-length counting.  Everything is 1-D: on TPU, flat
+    gathers from flat tables are near-free while 2-D lane-axis gathers
+    (take_along_axis) cost ~100 ms per 16M elements — the earlier
+    per-lead-row design (``candidate_pairs_device``) was built around the
+    latter and paid ~10 s at 4k reads; this path is ~50x faster.
+
+    Capacities are host-exact: ``plan_pair_capacities`` computes the true
+    h_total/t_total so only cap_out can overflow (retry with 2x).
+
+    Semantics identical to calcPairData + calcDispatchData
+    (src/KmerTable.scala:85-187): per unique k-mer, head-edge x middle and
+    tail-edge x middle pairs, loc-ordered (strictly greater loc leads,
+    src/KmerTable.scala:65-71), self-pairs dropped, collision count kept
+    within [min_collisions, max_collisions].
+    """
+    occ_s = sort_occurrences(occ)
+    geom = dict(
+        head_edge=head_edge, tail_edge=tail_edge,
+        mid_lead=mid_lead, mid_tail=mid_tail,
+    )
+    fst, snd, ok, h_tot, t_tot = expand_raw_pairs(
+        occ_s, geom, cap_head, cap_tail
+    )
+    n = fst.shape[0]
+
+    # ---- radix aggregation: stable sort by snd, then by fst ----
+    fstm = jnp.where(ok, fst, _I32_MAX)
+    key1 = jnp.where(ok, snd, _I32_MAX)
+    key1, fstm = jax.lax.sort((key1, fstm), num_keys=1, is_stable=True)
+    fst2, snd2 = jax.lax.sort((fstm, key1), num_keys=1, is_stable=True)
+    okv = fst2 != _I32_MAX
+
+    # ---- run-length counts via forward/backward run-boundary fills ----
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (fst2[1:] != fst2[:-1]) | (snd2[1:] != snd2[:-1]),
+        ]
+    )
+    start_fill = jax.lax.cummax(jnp.where(first, idx, 0))
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(first, idx, _I32_MAX))))
+    nxt = jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)])
+    cnt = jnp.minimum(nxt, n) - start_fill  # exact at run-start positions
+
+    keep = first & okv & (min_collisions <= cnt) & (cnt <= max_collisions)
+    lead, trail, ocnt, n_out = compact_pairs(fst2, snd2, cnt, keep, cap_out)
+    overflow = (h_tot > cap_head) | (t_tot > cap_tail) | (n_out > cap_out)
+    return dict(
+        lead=lead, trail=trail, count=ocnt, n_out=n_out,
+        h_tot=h_tot, t_tot=t_tot, overflow=overflow,
+    )
+
+
+@partial(
     jax.jit,
     static_argnames=("n_rows", "occ_max", "row_cap", "cap_out"),
 )
