@@ -47,24 +47,42 @@ def main():
 
     # warmup pass: triggers all compiles at the exact production shapes
     t0 = time.time()
-    ov = Overlapper(s, batch_size=16384)
+    ov = Overlapper(s)
     recs = ov.run(seqs)
     log(f"warmup: {len(recs)} records in {time.time() - t0:.1f}s "
         f"(includes compiles) stats={ov.stats}")
 
     # timed pass
-    ov = Overlapper(s, batch_size=16384)
+    ov = Overlapper(s)
     t0 = time.time()
     recs = ov.run(seqs)
     elapsed = time.time() - t0
     rps = len(seqs) / elapsed
     log(f"timed: {len(recs)} records in {elapsed:.2f}s -> {rps:.1f} reads/s")
+    stages = {k: round(v, 3) for k, v in ov.timer.stages.items()}
+    log(f"stage split (s): {stages}")
+
+    # DP-cell throughput vs chip peak: each candidate pair fills two
+    # (la+1) x (width+1) bands of 3 int32 DP states (~12 VPU ops/cell);
+    # v5e VPU peak ~ 3.96e12 int32 op/s (8x128x4 ALUs @ 940 MHz)
+    width = s.band_width(READ_LEN)
+    cells = 2 * ov.stats.n_alignments * (READ_LEN + 1) * (width + 1)
+    align_t = max(ov.timer.stages.get("align", elapsed), 1e-9)
+    cells_s = cells / align_t
+    vpu_util = cells_s * 12 / 3.96e12
+    log(f"DP fill: {cells / 1e9:.2f}G cells in {align_t:.2f}s = "
+        f"{cells_s / 1e9:.2f}G cells/s (~{vpu_util * 100:.1f}% of v5e VPU peak "
+        f"at ~12 int32 ops/cell)")
 
     print(json.dumps({
         "metric": "overlap_reads_per_sec_c_ruddii_32k",
         "value": round(rps, 2),
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_S, 2),
+        "stages_s": stages,
+        "dp_cells_per_sec": round(cells_s),
+        "n_candidate_pairs": ov.stats.n_alignments,
+        "n_records": len(recs),
     }))
 
 

@@ -53,7 +53,7 @@ Engine options:
   --st-hash/--mt-hash --st-align/--mt-align --block-align/--single-align
   --quadratic-align/--linear-align
   --engine device|oracle|sharded    --batch-size N    --workdir DIR
-  -i|--input FILE   -o|--output FILE   --debug
+  -i|--input FILE   -o|--output FILE   --debug   --profile DIR
 """
 
 
@@ -80,6 +80,7 @@ class Options:
         self.fast_dovetail = True
         self.batch_size = 4096
         self.debug = False
+        self.profile_dir = ""
         self.workdir = "/tmp/seqalign_pipe"
         self.amos_parity = False
 
@@ -174,6 +175,8 @@ def parse_args(argv: list[str]) -> Options:
             o.amos_parity = True; i += 1
         elif a == "--debug":
             o.debug = True; i += 1
+        elif a == "--profile":
+            o.profile_dir = argv[i + 1]; i += 2
         elif a == "--sleep-for-debug":
             print("Sleeping so debugger can connect.")
             time.sleep(30); i += 1
@@ -223,11 +226,17 @@ def main(argv: list[str] | None = None) -> int:
     o = parse_args(sys.argv[1:] if argv is None else argv)
     s = o.settings()
     act = o.action
+    if o.debug:
+        from sequence_aligner_tpu.utils.debug import set_debug
+
+        set_debug(True)
 
     if act == "calc-overlaps":
         from sequence_aligner_tpu.io.ovl import write_ovl
+        from sequence_aligner_tpu.utils.profiling import trace_profile
 
-        recs = _overlap_records(o, s)
+        with trace_profile(o.profile_dir or None):
+            recs = _overlap_records(o, s)
         write_ovl(recs, o.output or None)
         if o.debug:
             print(f"# wrote {len(recs)} overlaps", file=sys.stderr)

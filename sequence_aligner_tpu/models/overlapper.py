@@ -2,24 +2,33 @@
 
 Drives the device ops through the reference's production call stack
 (src/Project4.scala:56-59: k-mer table -> candidate dispatch -> block
-alignment -> OVL emission), re-expressed as four jitted stages with
-host-side capacity management between them:
+alignment -> OVL emission), re-expressed as device-resident jitted
+stages:
 
-  encode (host)  ->  kmer_scan (jit)  ->  candidate_pairs_device (jit,
-  capacity-doubling on overflow)  ->  fast_dovetail_batch /
-  local_align_batch (jit, bucketed by (band width, length class),
-  fixed-size pair batches)  ->  host gather + canonical sort + OVL.
+  encode (host)  ->  kmer_scan (jit)  ->  hash sort + device capacity
+  plan (jit, two scalar fetches)  ->  candidate_pairs_stream (jit, exact
+  capacities, no retries)  ->  device width-bucketing  ->  fused Pallas
+  dovetail chunks (jit)  ->  device valid-compaction  ->  ONE host fetch
+  of the valid records  ->  canonical sort + OVL.
+
+Everything between the encoded reads going up and the valid overlap
+records coming down stays on device: the candidate-pair table, the
+width-bucket index lists, and the per-chunk alignment results are never
+round-tripped (the round-1 engine fetched the 13.9M-pair table and
+re-uploaded per-batch index slices — ~100 MB each way over the remote
+device tunnel).
 
 The reference's "block" strategy (lead read + trailing set sharing DP
-buffers, src/KmerTable.scala:246-273) maps here to batching: thousands of
-pairs per kernel launch with uniform band geometry.
+buffers, src/KmerTable.scala:246-273) maps here to batching: hundreds of
+thousands of pairs per kernel launch with uniform band geometry.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from collections import defaultdict
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,12 +36,15 @@ from sequence_aligner_tpu.core.records import OverlapRecord, Sequence
 from sequence_aligner_tpu.core.settings import AlignSettings
 from sequence_aligner_tpu.io.fasta import read_fasta
 from sequence_aligner_tpu.ops.align_lax import (
-    fast_dovetail_batch_idx, local_align_batch_idx,
+    OUT_KEYS, fast_dovetail_batch, local_align_batch, stack_result,
 )
 from sequence_aligner_tpu.ops.encode import encode_reads
 from sequence_aligner_tpu.ops.kmer import kmer_scan
-from sequence_aligner_tpu.ops.pairgen import candidate_pairs_stream
-from sequence_aligner_tpu.ops.plan import plan_pair_capacities
+from sequence_aligner_tpu.ops.pairgen import (
+    candidate_pairs_stream, plan_totals_device, sort_occurrences_jit,
+)
+from sequence_aligner_tpu.utils.debug import printdb
+from sequence_aligner_tpu.utils.timing import StageTimer
 
 
 def _pow2_at_least(n: int, floor: int = 1024) -> int:
@@ -51,6 +63,91 @@ class OverlapStats:
     n_valid: int = 0
 
 
+@jax.jit
+def _bucket_indices(lead, lengths, wtab, w, n_out):
+    """Device compaction of candidate-pair positions whose lead read's
+    band width equals ``w``.  Returns (idx [cap], count)."""
+    cap = lead.shape[0]
+    la = lengths[jnp.clip(lead - 1, 0, lengths.shape[0] - 1)]
+    pw = wtab[jnp.clip(la, 0, wtab.shape[0] - 1)]
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    mask = (pw == w) & (pos < n_out)
+    incl = jnp.cumsum(mask.astype(jnp.int32))
+    slot = jnp.where(mask, incl - 1, cap)
+    idx = jnp.zeros((cap + 1,), jnp.int32).at[slot].set(pos)
+    return idx[:cap], incl[cap - 1]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "bs", "width", "la_max", "cm_tuple", "gO", "gE", "pblk", "kernel",
+    ),
+)
+def _align_chunk(
+    bases, lengths, lead, trail, idx, lo, count, *,
+    bs: int, width: int, la_max: int, cm_tuple, gO: int, gE: int,
+    min_identity, min_overlap, max_ignore, pblk: int, kernel: str,
+):
+    """Align one fixed-size chunk of a width bucket, fully on device.
+
+    Gathers pair operands from the device-resident pair table via the
+    bucket index array, runs the selected aligner, and returns a stacked
+    [12, bs] int32 result: the 10 OUT_KEYS rows (``valid`` masked to
+    positions < count) plus lead and trail read ids.
+    """
+    sel = jax.lax.dynamic_slice(idx, (lo,), (bs,))
+    lead_c = lead[sel]
+    trail_c = trail[sel]
+    a_idx = jnp.clip(lead_c - 1, 0, bases.shape[0] - 1)
+    b_idx = jnp.clip(trail_c - 1, 0, bases.shape[0] - 1)
+    ab, al = bases[a_idx], lengths[a_idx]
+    bb, bl = bases[b_idx], lengths[b_idx]
+    kw = dict(
+        gO=gO, gE=gE, min_identity=min_identity, min_overlap=min_overlap,
+        max_ignore=max_ignore, la_max=la_max, lb_max=la_max,
+    )
+    if kernel == "fused":
+        from sequence_aligner_tpu.ops.align_fused import (
+            fast_dovetail_batch_fused,
+        )
+
+        res = fast_dovetail_batch_fused(
+            ab, al, bb, bl, cm_tuple=cm_tuple, width=width, pblk=pblk, **kw
+        )
+    else:
+        cm = jnp.asarray(np.asarray(cm_tuple, np.int32).reshape(4, 4))
+        if kernel == "lax":
+            res = fast_dovetail_batch(ab, al, bb, bl, cm=cm, width=width, **kw)
+        else:  # quadratic full SW
+            res = local_align_batch(ab, al, bb, bl, cm=cm, **kw)
+    in_range = (lo + jnp.arange(bs, dtype=jnp.int32)) < count
+    res = dict(res)
+    res["valid"] = res["valid"] & in_range
+    return jnp.concatenate(
+        [stack_result(res), lead_c[None, :], trail_c[None, :]], axis=0
+    )
+
+
+@jax.jit
+def _count_valid(stacked):
+    return jnp.sum((stacked[9] > 0).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_valid(stacked, *, cap: int):
+    """Pack the valid rows of a [12, N] stacked result into [cap, 12]."""
+    mask = stacked[9] > 0
+    n = stacked.shape[1]
+    incl = jnp.cumsum(mask.astype(jnp.int32))
+    slot = jnp.where(mask, incl - 1, cap)
+    cols = stacked.T  # [N, 12]
+    buf = jnp.zeros((cap + 1, cols.shape[1]), jnp.int32).at[slot].set(
+        jnp.where(mask[:, None], cols, 0)
+    )
+    return buf[:cap]
+
+
 class Overlapper:
     """TPU-native overlap engine."""
 
@@ -59,20 +156,19 @@ class Overlapper:
         settings: AlignSettings,
         *,
         fast_dovetail: bool = True,
-        batch_size: int = 4096,
+        batch_size: int = 1 << 18,
         use_pallas: bool | None = None,
     ):
         self.s = settings
         self.fast_dovetail = fast_dovetail
         self.batch_size = batch_size
         if use_pallas is None:
-            import jax
-
             # Pallas fills are the fast path on real TPU; the interpret-mode
             # fallback on CPU is slower than the lax scans
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         self.stats = OverlapStats()
+        self.timer = StageTimer()
 
     # ---- stage 1+2: encode + kmer occurrences ----
     def _occurrences(self, bases: np.ndarray, lengths: np.ndarray):
@@ -83,43 +179,125 @@ class Overlapper:
             self.s.kmer_size,
         )
 
-    # ---- stage 3: candidate pairs, capacities planned on host ----
-    def _candidates(
-        self, occ, bases: np.ndarray, lengths: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray]:
+    # ---- stage 3: candidate pairs, device-resident ----
+    def _candidates_dev(self, occ):
+        """Run the pair stream with exact device-planned capacities.
+        Returns the output dict (device arrays) + n_out (host int)."""
         s = self.s
-        if occ["hash"].shape[0] == 0:  # e.g. every read shorter than k
-            return np.zeros(0, np.int32), np.zeros(0, np.int32)
         geom = dict(
             head_edge=jnp.float32(s.kmer_head_edge),
             tail_edge=jnp.float32(s.kmer_tail_edge),
             mid_lead=jnp.float32(s.kmer_mid_lead_edge),
             mid_tail=jnp.float32(s.kmer_mid_tail_edge),
         )
-        # the host plan knows the exact raw cross-product totals, so the
-        # stream capacities never overflow; only cap_out (distinct pairs in
-        # the collision band) is estimated and retried on overflow
-        plan = plan_pair_capacities(bases, lengths, s)
-        cap_head = _pow2_at_least(plan["h_total"], 1 << 14)
-        cap_tail = _pow2_at_least(plan["t_total"], 1 << 14)
-        cap_out = min(1 << 21, cap_head + cap_tail)
+        # capacities are planned ON DEVICE from the hash-sorted occurrence
+        # table (two scalar fetches): the raw cross-product totals are
+        # exact, and every distinct pair kept by the collision band carries
+        # >= min_collisions raw events, so raw_total // min_collisions
+        # bounds n_out — no overflow retry (each retry was a full recompile
+        # + re-execution of the giant sort program)
+        occ_s = sort_occurrences_jit(occ)
+        with self.timer.stage("pairgen.plan"):  # nested inside "pairgen"
+            h_tot, t_tot = plan_totals_device(occ_s, **geom)
+            h_tot, t_tot = int(h_tot), int(t_tot)
+        printdb(f"pairgen plan: h_total={h_tot} t_total={t_tot}")
+        cap_head = _pow2_at_least(h_tot, 1 << 14)
+        cap_tail = _pow2_at_least(t_tot, 1 << 14)
+        out_bound = (h_tot + t_tot) // max(s.min_collisions, 1)
+        cap_out = _pow2_at_least(min(out_bound, h_tot + t_tot), 1 << 14)
         while True:
             out = candidate_pairs_stream(
-                occ, **geom,
+                occ_s, **geom,
                 min_collisions=jnp.int32(s.min_collisions),
                 max_collisions=jnp.int32(s.max_collisions),
                 cap_head=cap_head, cap_tail=cap_tail, cap_out=cap_out,
+                presorted=True,
             )
             if not bool(out["overflow"]):
                 break
-            cap_out *= 2
-        k = int(out["n_out"])
+            cap_out *= 2  # unreachable with the bound above; kept as a net
+        return out, int(out["n_out"])
+
+    def _candidates(
+        self, occ, bases: np.ndarray = None, lengths: np.ndarray = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Host-side candidate list (test/bench surface)."""
+        if occ["hash"].shape[0] == 0:  # e.g. every read shorter than k
+            return np.zeros(0, np.int32), np.zeros(0, np.int32)
+        out, k = self._candidates_dev(occ)
         lead = np.asarray(out["lead"][:k])
         trail = np.asarray(out["trail"][:k])
         order = np.lexsort((trail, lead))
         return lead[order], trail[order]
 
-    # ---- stage 4: bucketed batched alignment ----
+    # ---- stage 4: device width-bucketed chunked alignment ----
+    def _align_device(
+        self,
+        bases: np.ndarray,
+        lengths: np.ndarray,
+        lead_dev,
+        trail_dev,
+        n_pairs: int,
+    ):
+        """Returns host arrays (lead, trail, ahg, bhg) of the VALID
+        overlaps only — one device->host transfer for the whole stage."""
+        s = self.s
+        empty = tuple(np.zeros(0, np.int32) for _ in range(4))
+        if n_pairs == 0:
+            return empty
+        bases_d = jnp.asarray(bases)
+        lengths_d = jnp.asarray(lengths)
+        la_max = bases.shape[1]
+        # exact band-width-by-length lookup (float32 parity with
+        # settings.band_width), uploaded once
+        wtab_host = np.asarray(
+            [s.band_width(l) for l in range(la_max + 1)], np.int32
+        )
+        wtab = jnp.asarray(wtab_host)
+        widths = (
+            [0] if not self.fast_dovetail
+            else sorted(set(int(w) for w in wtab_host[lengths[lengths > 0]]))
+        )
+        kernel = (
+            "quad" if not self.fast_dovetail
+            else ("fused" if self.use_pallas else "lax")
+        )
+        cm_tuple = tuple(int(x) for x in s.cost_matrix.reshape(-1))
+        kw = dict(
+            la_max=la_max, cm_tuple=cm_tuple, gO=s.gap_open, gE=s.gap_extend,
+            min_identity=jnp.float32(s.min_identity),
+            min_overlap=jnp.int32(s.min_overlap),
+            max_ignore=jnp.int32(s.max_ignore), kernel=kernel,
+        )
+        chunks = []
+        for w in widths:
+            if kernel == "quad":  # full SW has no band: one bucket of all
+                idx = jnp.arange(lead_dev.shape[0], dtype=jnp.int32)
+                cnt = jnp.int32(n_pairs)
+            else:
+                idx, cnt = _bucket_indices(
+                    lead_dev, lengths_d, wtab, jnp.int32(w), jnp.int32(n_pairs)
+                )
+            cnt_h = n_pairs if len(widths) == 1 else int(cnt)
+            if cnt_h == 0:
+                continue
+            bs = min(self.batch_size, _pow2_at_least(cnt_h, 256))
+            for lo in range(0, cnt_h, bs):
+                chunks.append(_align_chunk(
+                    bases_d, lengths_d, lead_dev, trail_dev, idx,
+                    jnp.int32(lo), cnt,
+                    bs=bs, width=w, pblk=256, **kw,
+                ))
+        stacked = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
+        self.stats.n_alignments = n_pairs
+        n_valid = int(_count_valid(stacked))
+        self.stats.n_valid = n_valid
+        if n_valid == 0:
+            return empty
+        cap_v = _pow2_at_least(n_valid, 1 << 10)
+        packed = np.asarray(_compact_valid(stacked, cap=cap_v))[:n_valid]
+        return packed[:, 10], packed[:, 11], packed[:, 7], packed[:, 8]
+
     def _align(
         self,
         bases: np.ndarray,
@@ -127,114 +305,101 @@ class Overlapper:
         lead: np.ndarray,
         trail: np.ndarray,
     ) -> dict[str, np.ndarray]:
+        """Host-facing batch alignment over an explicit pair list (test /
+        bench surface; production uses the device-resident path)."""
         s = self.s
         npairs = len(lead)
         out = {
             k: np.zeros(npairs, dtype=np.int32)
-            for k in ("start_i", "start_j", "end_i", "end_j",
-                      "correct", "error", "align_len", "ahg", "bhg")
+            for k in OUT_KEYS if k != "valid"
         }
         out["valid"] = np.zeros(npairs, dtype=bool)
         if npairs == 0:
             return out
         la = lengths[lead - 1]
-        widths = s.band_widths(la)
-        cm = jnp.asarray(s.cost_matrix)
-        # reads live on device for the whole stage; per-batch traffic is
-        # just the int32 pair-index vectors (row gathers are free on TPU)
+        widths = s.band_widths(la) if self.fast_dovetail else np.zeros_like(la)
         bases_d = jnp.asarray(bases)
         lengths_d = jnp.asarray(lengths)
-        pending = []  # (chunk_indices, device_result) — fetched after the
-        # dispatch loop so the device pipeline stays full
+        kernel = (
+            "quad" if not self.fast_dovetail
+            else ("fused" if self.use_pallas else "lax")
+        )
+        cm_tuple = tuple(int(x) for x in s.cost_matrix.reshape(-1))
+        kw = dict(
+            la_max=bases.shape[1], cm_tuple=cm_tuple,
+            gO=s.gap_open, gE=s.gap_extend,
+            min_identity=jnp.float32(s.min_identity),
+            min_overlap=jnp.int32(s.min_overlap),
+            max_ignore=jnp.int32(s.max_ignore), kernel=kernel,
+        )
+        pos_dev = jnp.asarray(np.arange(npairs, dtype=np.int32))
+        lead_dev = jnp.asarray(lead.astype(np.int32))
+        trail_dev = jnp.asarray(trail.astype(np.int32))
         for w in np.unique(widths):
-            idxs = np.nonzero(widths == w)[0]
+            idxs = np.nonzero(widths == w)[0].astype(np.int32)
             bs = min(self.batch_size, _pow2_at_least(len(idxs), 256))
+            pad = (-len(idxs)) % bs
+            idx_dev = jnp.asarray(np.concatenate(
+                [idxs, np.repeat(idxs[-1:], pad)]
+            ))
             for lo in range(0, len(idxs), bs):
-                chunk = idxs[lo : lo + bs]
-                pad = bs - len(chunk)
-                ci = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
-                a_idx = jnp.asarray(lead[ci] - 1)
-                b_idx = jnp.asarray(trail[ci] - 1)
-                kw = dict(
-                    cm=cm, gO=s.gap_open, gE=s.gap_extend,
-                    min_identity=jnp.float32(s.min_identity),
-                    min_overlap=jnp.int32(s.min_overlap),
-                    max_ignore=jnp.int32(s.max_ignore),
-                    la_max=bases.shape[1], lb_max=bases.shape[1],
+                res = _align_chunk(
+                    bases_d, lengths_d, lead_dev, trail_dev, idx_dev,
+                    jnp.int32(lo), jnp.int32(len(idxs)),
+                    bs=bs, width=int(w), pblk=256, **kw,
                 )
-                if self.fast_dovetail and self.use_pallas:
-                    from sequence_aligner_tpu.ops.align_pallas import (
-                        fast_dovetail_batch_pallas_idx,
-                    )
-
-                    pkw = dict(kw)
-                    pkw.pop("cm")
-                    res = fast_dovetail_batch_pallas_idx(
-                        bases_d, lengths_d, a_idx, b_idx,
-                        width=w,
-                        cm_tuple=tuple(int(x) for x in s.cost_matrix.reshape(-1)),
-                        pblk=min(256, bs), **pkw,
-                    )
-                elif self.fast_dovetail:
-                    res = fast_dovetail_batch_idx(
-                        bases_d, lengths_d, a_idx, b_idx, width=w, **kw
-                    )
-                else:
-                    res = local_align_batch_idx(
-                        bases_d, lengths_d, a_idx, b_idx, **kw
-                    )
-                pending.append((chunk, res))
-                if len(pending) >= 8:  # bound device-queue depth
-                    self._fetch(out, *pending.pop(0))
-        for c0, r0 in pending:
-            self._fetch(out, c0, r0)
+                host = np.asarray(res)
+                chunk = idxs[lo : lo + bs]
+                for r, k in enumerate(OUT_KEYS):
+                    if k == "valid":
+                        out[k][chunk] = host[r, : len(chunk)].astype(bool)
+                    else:
+                        out[k][chunk] = host[r, : len(chunk)]
         return out
-
-    @staticmethod
-    def _fetch(out, chunk, res):
-        from sequence_aligner_tpu.ops.align_lax import OUT_KEYS
-
-        host = np.asarray(res)  # single [10, P] transfer
-        for r, k in enumerate(OUT_KEYS):
-            if k == "valid":
-                out[k][chunk] = host[r, : len(chunk)].astype(bool)
-            else:
-                out[k][chunk] = host[r, : len(chunk)]
 
     # ---- full pipeline ----
     def run(self, path_or_seqs: str | list[Sequence]) -> list[OverlapRecord]:
-        if isinstance(path_or_seqs, str):
-            from sequence_aligner_tpu.native import fasta_encode_native
+        with self.timer.stage("encode"):
+            if isinstance(path_or_seqs, str):
+                from sequence_aligner_tpu.native import fasta_encode_native
 
-            enc = fasta_encode_native(path_or_seqs)  # C++ fast path
-            if enc is None:
-                enc = encode_reads(read_fasta(path_or_seqs))
-            bases, lengths = enc
-            n_input = bases.shape[0]
-        else:
-            bases, lengths = encode_reads(path_or_seqs)
-            n_input = len(path_or_seqs)
-        self.stats.n_reads = n_input
-        # pad the read count to a power-of-two tier so device programs
-        # compile once per (N_tier, L) shape family
-        n_tier = _pow2_at_least(n_input, 256)
-        if n_tier > n_input:
-            bases = np.pad(bases, ((0, n_tier - n_input), (0, 0)))
-            lengths = np.pad(lengths, (0, n_tier - n_input))
-        occ = self._occurrences(bases, lengths)
-        self.stats.n_kmers = int(np.asarray(occ["valid"]).sum())
-        lead, trail = self._candidates(occ, bases, lengths)
-        self.stats.n_candidate_pairs = len(lead)
-        res = self._align(bases, lengths, lead, trail)
-        self.stats.n_alignments = len(lead)
-        valid = res["valid"]
-        self.stats.n_valid = int(valid.sum())
-        records = [
-            OverlapRecord(
-                id_a=int(lead[i]), id_b=int(trail[i]),
-                ahg=int(res["ahg"][i]), bhg=int(res["bhg"][i]),
-            )
-            for i in np.nonzero(valid)[0]
-        ]
-        records.sort(key=OverlapRecord.sort_key)
+                enc = fasta_encode_native(path_or_seqs)  # C++ fast path
+                if enc is None:
+                    enc = encode_reads(read_fasta(path_or_seqs))
+                bases, lengths = enc
+                n_input = bases.shape[0]
+            else:
+                bases, lengths = encode_reads(path_or_seqs)
+                n_input = len(path_or_seqs)
+            self.stats.n_reads = n_input
+            # pad the read count to a power-of-two tier so device programs
+            # compile once per (N_tier, L) shape family
+            n_tier = _pow2_at_least(n_input, 256)
+            if n_tier > n_input:
+                bases = np.pad(bases, ((0, n_tier - n_input), (0, 0)))
+                lengths = np.pad(lengths, (0, n_tier - n_input))
+        with self.timer.stage("kmer"):
+            occ = self._occurrences(bases, lengths)
+            self.stats.n_kmers = int(np.asarray(occ["valid"]).sum())
+        with self.timer.stage("pairgen"):
+            if occ["hash"].shape[0] == 0:
+                out, n_pairs = None, 0
+            else:
+                out, n_pairs = self._candidates_dev(occ)
+            self.stats.n_candidate_pairs = n_pairs
+        printdb(f"pairgen: {n_pairs} candidate pairs")
+        with self.timer.stage("align"):
+            if n_pairs:
+                lead_v, trail_v, ahg_v, bhg_v = self._align_device(
+                    bases, lengths, out["lead"], out["trail"], n_pairs
+                )
+            else:
+                lead_v = trail_v = ahg_v = bhg_v = np.zeros(0, np.int32)
+        with self.timer.stage("emit"):
+            records = [
+                OverlapRecord(id_a=int(a), id_b=int(b), ahg=int(h), bhg=int(g))
+                for a, b, h, g in zip(lead_v, trail_v, ahg_v, bhg_v)
+            ]
+            records.sort(key=OverlapRecord.sort_key)
+        printdb(self.timer.report())
         return records

@@ -1,0 +1,476 @@
+"""Fused Pallas dovetail kernels: traceback folded into the DP fill.
+
+The round-1 kernels (ops/align_pallas.py) emitted a per-cell direction
+code array ([la+1, w+1, P] int32 per phase, ~86 MB per 16k-pair batch)
+and walked it afterwards with a step-locked XLA scan — ~228 *sequential*
+HBM gathers per batch, which dominated end-to-end time (~320 ms per 16k
+pairs, >70% of it traceback).
+
+These kernels eliminate the traceback entirely.  Observation: cells are
+finalized in scan order, and the reference's backtrack
+(src/BioLibs.scala:550-589) is a *cell-level* greedy walk — at each cell
+it compares the three final DP matrices M/X/Y with M -> X -> Y
+preference and moves accordingly, stopping when the landed-on cell's max
+is <= 0.  So each cell's full backtrack outcome is a function of its
+predecessor cell's (already final) outcome, and can be propagated as
+auxiliary per-cell state DURING the fill:
+
+  aux(q) = (stop coords, correct, error)
+  p      = pred(q, argmax-branch(q))
+  aux(q) = cont(p) ? aux(p) + contrib(q) : (coords(p), contrib(q))
+
+where contrib(q) = match/mismatch for an M-branch (chars-equal bit),
+error for X/Y gap branches; cont(p) = max(M,X,Y)(p) > 0.  Path length
+needs no state of its own: every backtrack step contributes exactly one
+match or one error, so align_len == correct + error.
+
+M and Y branches read the previous row's aux (vector ops); the X branch
+reads the *current* row at k-1 — an in-row chain resolved by a short
+unrolled ascending-k loop (band width is static and small).  The kernels
+are VPU-issue-bound (band width 13 -> every logical op is a handful of
+8x128 vregs), so the aux state is bit-packed into TWO int32 arrays —
+coords (stop_u << 16 | stop_k) and counts (correct << 16 | error)
+— and contributions are added without unpacking (fields never carry:
+counts are bounded by the path length <= la + w + 2 < 2^16).
+
+The running best cell's aux is captured on every strict improvement, so
+the kernel emits per-pair scalars only: no dirs array, no traceback
+pass, ~600x less HBM traffic per batch.
+
+Semantics match ops/align_lax.fast_dovetail_batch (itself validated
+against the oracle, src/BioLibs.scala:373-591) bit for bit, including
+strict-> running max in row-major scan order and M -> X -> Y branch
+preference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sequence_aligner_tpu.ops.align_pallas import (
+    _band_cummax, _interpret, _max3,
+)
+
+
+def _branch(mv, xv, yv):
+    """Cell branch with M -> X -> Y preference: 0=M, 1=X, 2=Y."""
+    mx = _max3(mv, xv, yv)
+    return jnp.where(mv == mx, 0, jnp.where(xv == mx, 1, 2)), mx
+
+
+def _sub_row(a_code, b_codes, cm_tuple, pblk):
+    """Substitution scores for one DP row: cm[a, b] with a [P] fixed per
+    pair and b [w, P] varying along the band.
+
+    Two-level select: build the four per-pair columns cm[a, c] (cheap [P]
+    ops), then select over b — 6 band-shaped ops instead of the 30 a
+    16-way chain costs (the kernels are vector-issue-bound)."""
+    a1 = a_code == 1
+    a2 = a_code == 2
+    a3 = a_code == 3
+
+    def col(c):
+        return jnp.where(
+            a3, jnp.int32(cm_tuple[12 + c]),
+            jnp.where(
+                a2, jnp.int32(cm_tuple[8 + c]),
+                jnp.where(a1, jnp.int32(cm_tuple[4 + c]), jnp.int32(cm_tuple[c])),
+            ),
+        )
+
+    t0, t1, t2, t3 = (col(c)[None, :] for c in range(4))
+    return jnp.where(
+        b_codes == 0, t0,
+        jnp.where(b_codes == 1, t1, jnp.where(b_codes == 2, t2, t3)),
+    )
+
+
+def _phase1_fused_kernel(
+    a_ref, b_ref, alen_ref,
+    best_ref, bi_ref, bj_ref, fi_ref, fj_ref,
+    mp, xp, yp, st_p,
+    *, la_max: int, w: int, gO: int, gE: int, cm_tuple,
+):
+    """Banded SW of A vs B[0:w] with in-fill stop propagation.
+
+    Emits per pair: running best, its cell (bi, bj), and the backtrack
+    stop cell (fi, fj) — fj == 0 is the dovetail anchor condition
+    (src/BioLibs.scala:443-466).  st_p packs the stop coords (i<<16 | j).
+    """
+    pblk = a_ref.shape[1]
+    cols = w + 1
+    zero = jnp.zeros((cols, pblk), jnp.int32)
+    mp[:] = zero
+    xp[:] = zero
+    yp[:] = zero
+    st_p[:] = zero
+    b_codes = b_ref[0:w, :]  # [w, P]
+    alen = alen_ref[0, :]
+    karr = jax.lax.broadcasted_iota(jnp.int32, (cols, pblk), 0)
+    # packed coords of the pred cell itself, for chains that stop there
+    pm_cell = ((karr - 1) & 0xFFFF)[:, :]  # j part of (i-1, k-1); i added per row
+    py_cell = karr
+
+    def body(i, carry):
+        best, bi, bj, fst = carry
+        a_code = a_ref[i - 1, :]
+        sub = _sub_row(a_code, b_codes, cm_tuple, pblk)
+        m_p, x_p, y_p = mp[:], xp[:], yp[:]
+        zrow1 = jnp.zeros((1, pblk), jnp.int32)
+        m_new = jnp.concatenate(
+            [zrow1, sub + _max3(m_p[:-1], y_p[:-1], jnp.maximum(x_p[:-1], 0))],
+            axis=0,
+        )
+        y_new = jnp.concatenate(
+            [zrow1, gE + _max3(m_p[1:] + gO, y_p[1:], jnp.maximum(x_p[1:] + gO, 0))],
+            axis=0,
+        )
+        c = _max3(m_new[:-1] + gO, y_new[:-1] + gO, jnp.zeros((w, pblk), jnp.int32))
+        k1 = jax.lax.broadcasted_iota(jnp.int32, (w, pblk), 0) + 1
+        run = _band_cummax(c - k1 * gE, w)
+        x_new = jnp.concatenate([zrow1, (k1 + 1) * gE + run], axis=0)
+
+        br, mx = _branch(m_new, x_new, y_new)
+        cont_i = (_max3(m_p, x_p, y_p) > 0).astype(jnp.int32)  # row i-1 live
+        sp = st_p[:]
+
+        # M branch: pred = (i-1, k-1); Y branch: pred = (i-1, k)
+        # (int32 shift, not bool concat — Mosaic rejects i1 vector selects)
+        pm_cont = jnp.concatenate([zrow1, cont_i[:-1]], 0)
+        pm_st = jnp.concatenate([zrow1, sp[:-1]], 0)
+        im1 = (i - 1) << 16
+        selM = jnp.where(pm_cont == 1, pm_st, im1 | pm_cell)
+        selY = jnp.where(cont_i == 1, sp, im1 | py_cell)
+        s0 = jnp.where(br == 0, selM, selY)
+
+        # X branch: pred = (i, k-1) — in-row ascending-k chain (static w)
+        rows = [s0[k] for k in range(cols)]
+        i16 = i << 16
+        for k in range(1, cols):
+            is_x = br[k] == 1
+            left_cont = mx[k - 1] > 0
+            px = jnp.where(left_cont, rows[k - 1], i16 | (k - 1))
+            rows[k] = jnp.where(is_x, px, rows[k])
+        s_new = jnp.stack(rows)
+
+        # running max: strict > in row-major scan order, first col wins
+        row_t = mx[1:]
+        rb = jnp.max(row_t, axis=0)
+        kia = jax.lax.broadcasted_iota(jnp.int32, row_t.shape, 0)
+        jb = jnp.min(jnp.where(row_t == rb[None, :], kia, la_max + w + 2), axis=0) + 1
+        sel = karr == jb[None, :]
+        cap = jnp.max(jnp.where(sel, s_new, 0), axis=0)
+        upd = (i <= alen) & (rb > best)
+        best = jnp.where(upd, rb, best)
+        bi = jnp.where(upd, i, bi)
+        bj = jnp.where(upd, jb, bj)
+        fst = jnp.where(upd, cap, fst)
+
+        mp[:] = m_new
+        xp[:] = x_new
+        yp[:] = y_new
+        st_p[:] = s_new
+        return best, bi, bj, fst
+
+    z = jnp.zeros((pblk,), jnp.int32)
+    best, bi, bj, fst = jax.lax.fori_loop(1, la_max + 1, body, (z, z, z, z))
+    best_ref[0, :] = best
+    bi_ref[0, :] = bi
+    bj_ref[0, :] = bj
+    fi_ref[0, :] = fst >> 16
+    fj_ref[0, :] = fst & 0xFFFF
+
+
+def _phase2_fused_kernel(
+    a_ref, bpad_ref, dlen_ref, blen_ref,
+    best_ref, bu_ref, bk_ref, uf_ref, kf_ref, c_ref, e_ref,
+    mp, xp, yp, st_p, ct_p,
+    *, la_max: int, w: int, zero_row: int, gO: int, gE: int, cm_tuple,
+):
+    """Rotated band DP with in-fill stop + match/error propagation.
+
+    a_ref is the dove-shifted A (row u-1 holds A[u + dove_start - 1]);
+    bpad_ref holds B padded so that row (u + k) is B[k - zero_row + u - 1]
+    — the per-row band window is carried and shifted by one row per step,
+    so no [la, w, P] window materialization.  st_p packs stop coords
+    (u << 16 | k), ct_p packs counts (correct << 16 | error).
+    """
+    pblk = a_ref.shape[1]
+    cols = w + 1
+    zero = jnp.zeros((cols, pblk), jnp.int32)
+    mp[:] = zero
+    xp[:] = zero
+    yp[:] = zero
+    st_p[:] = zero
+    ct_p[:] = zero
+    dlen = dlen_ref[0, :]
+    blen = blen_ref[0, :]
+    karr = jax.lax.broadcasted_iota(jnp.int32, (cols, pblk), 0)
+    npad = bpad_ref.shape[0]
+
+    b0 = bpad_ref[1 : cols + 1, :]  # band window for u = 1
+
+    def body(u, carry):
+        best, bu, bk, fst, fct, b_codes = carry
+        a_code = a_ref[u - 1, :]
+        sub = _sub_row(a_code, b_codes, cm_tuple, pblk)
+        eq = a_code[None, :] == b_codes
+        j = karr - zero_row + u
+        inb = (u <= dlen)[None, :] & (j >= 1) & (j <= blen[None, :])
+        m_p, x_p, y_p = mp[:], xp[:], yp[:]
+        m_new = jnp.where(inb, sub + _max3(m_p, y_p, jnp.maximum(x_p, 0)), 0)
+        zrow1 = jnp.zeros((1, pblk), jnp.int32)
+        shift = lambda r: jnp.concatenate([r[1:], zrow1], axis=0)
+        y_new = jnp.where(
+            inb & (karr != w),
+            gE + _max3(shift(m_p) + gO, shift(y_p), jnp.maximum(shift(x_p) + gO, 0)),
+            0,
+        )
+        c = _max3(m_new[:-1] + gO, y_new[:-1] + gO, jnp.zeros((w, pblk), jnp.int32))
+        k1 = jax.lax.broadcasted_iota(jnp.int32, (w, pblk), 0) + 1
+        run = _band_cummax(jnp.where(inb[1:], c - k1 * gE, -(2**30)), w)
+        x_band = (k1 + 1) * gE + run
+        x_new = jnp.concatenate([zrow1, x_band], axis=0)
+        x_new = jnp.where(inb & (karr != 0), x_new, 0)
+
+        br, mx = _branch(m_new, x_new, y_new)
+        # int32 masks throughout: Mosaic rejects selects producing i1 vectors
+        cont_i = (_max3(m_p, x_p, y_p) > 0).astype(jnp.int32)
+        is_m = br == 0
+
+        # M branch: pred = (u-1, k); Y branch: pred = (u-1, k+1)
+        sp, cp = st_p[:], ct_p[:]
+        sel_cont = jnp.where(is_m, cont_i, shift(cont_i)) == 1
+        um1 = (u - 1) << 16
+        sel_st = jnp.where(is_m, sp, shift(sp))
+        sel_cell = jnp.where(is_m, um1 | karr, um1 | (karr + 1))
+        sel_ct = jnp.where(is_m, cp, shift(cp))
+        dctr = jnp.where(is_m & eq, 1 << 16, 1)  # match or error, packed
+        s0 = jnp.where(sel_cont, sel_st, sel_cell)
+        c0 = jnp.where(sel_cont, sel_ct, 0) + dctr
+
+        # X branch: pred = (u, k-1) — in-row ascending-k chain
+        rows_s = [s0[k] for k in range(cols)]
+        rows_c = [c0[k] for k in range(cols)]
+        u16 = u << 16
+        for k in range(1, cols):
+            is_x = br[k] == 1
+            left_cont = mx[k - 1] > 0
+            px_s = jnp.where(left_cont, rows_s[k - 1], u16 | (k - 1))
+            px_c = jnp.where(left_cont, rows_c[k - 1], 0) + 1
+            rows_s[k] = jnp.where(is_x, px_s, rows_s[k])
+            rows_c[k] = jnp.where(is_x, px_c, rows_c[k])
+        s_new = jnp.stack(rows_s)
+        c_new = jnp.stack(rows_c)
+
+        rb = jnp.max(mx, axis=0)
+        kb = jnp.min(jnp.where(mx == rb[None, :], karr, la_max + w + 2), axis=0)
+        sel = karr == kb[None, :]
+        upd = rb > best
+        best = jnp.where(upd, rb, best)
+        bu = jnp.where(upd, u, bu)
+        bk = jnp.where(upd, kb, bk)
+        fst = jnp.where(upd, jnp.max(jnp.where(sel, s_new, 0), axis=0), fst)
+        fct = jnp.where(upd, jnp.max(jnp.where(sel, c_new, 0), axis=0), fct)
+
+        mp[:] = m_new
+        xp[:] = x_new
+        yp[:] = y_new
+        st_p[:] = s_new
+        ct_p[:] = c_new
+        # slide the band window down one row of b_pad
+        nxt = bpad_ref[jnp.minimum(u + cols, npad - 1), :]
+        b_next = jnp.concatenate([b_codes[1:], nxt[None, :]], axis=0)
+        return best, bu, bk, fst, fct, b_next
+
+    z = jnp.zeros((pblk,), jnp.int32)
+    best, bu, bk, fst, fct, _ = jax.lax.fori_loop(
+        1, la_max + 1, body, (z, z, z, z, z, b0)
+    )
+    best_ref[0, :] = best
+    bu_ref[0, :] = bu
+    bk_ref[0, :] = bk
+    uf_ref[0, :] = fst >> 16
+    kf_ref[0, :] = fst & 0xFFFF
+    c_ref[0, :] = fct >> 16
+    e_ref[0, :] = fct & 0xFFFF
+
+
+def _vec_spec(pblk):
+    return pl.BlockSpec((1, pblk), lambda i: (0, i))
+
+
+def _vec_shape(p):
+    return jax.ShapeDtypeStruct((1, p), jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("la_max", "w", "gO", "gE", "cm_tuple", "pblk")
+)
+def phase1_fused(a_t, b_t, a_len, *, la_max, w, gO, gE, cm_tuple, pblk=256):
+    p = a_t.shape[1]
+    cols = w + 1
+    kernel = functools.partial(
+        _phase1_fused_kernel, la_max=la_max, w=w, gO=gO, gE=gE,
+        cm_tuple=cm_tuple,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(p // pblk,),
+        in_specs=[
+            pl.BlockSpec((la_max, pblk), lambda i: (0, i)),
+            pl.BlockSpec((b_t.shape[0], pblk), lambda i: (0, i)),
+            _vec_spec(pblk),
+        ],
+        out_specs=[_vec_spec(pblk)] * 5,
+        out_shape=[_vec_shape(p)] * 5,
+        scratch_shapes=[pltpu.VMEM((cols, pblk), jnp.int32)] * 4,
+        interpret=_interpret(),
+    )(a_t, b_t, a_len[None, :])
+    return tuple(o[0] for o in outs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("la_max", "w", "zero_row", "gO", "gE", "cm_tuple", "pblk"),
+)
+def phase2_fused(
+    a_shift, b_pad, dove_len, b_len, *,
+    la_max, w, zero_row, gO, gE, cm_tuple, pblk=256,
+):
+    p = a_shift.shape[1]
+    cols = w + 1
+    kernel = functools.partial(
+        _phase2_fused_kernel, la_max=la_max, w=w, zero_row=zero_row,
+        gO=gO, gE=gE, cm_tuple=cm_tuple,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(p // pblk,),
+        in_specs=[
+            pl.BlockSpec((la_max, pblk), lambda i: (0, i)),
+            pl.BlockSpec((b_pad.shape[0], pblk), lambda i: (0, i)),
+            _vec_spec(pblk),
+            _vec_spec(pblk),
+        ],
+        out_specs=[_vec_spec(pblk)] * 7,
+        out_shape=[_vec_shape(p)] * 7,
+        scratch_shapes=[pltpu.VMEM((cols, pblk), jnp.int32)] * 5,
+        interpret=_interpret(),
+    )(a_shift, b_pad, dove_len[None, :], b_len[None, :])
+    return tuple(o[0] for o in outs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("la_max", "lb_max", "width", "cm_tuple", "gO", "gE", "pblk"),
+)
+def fast_dovetail_batch_fused(
+    a_bases, a_len, b_bases, b_len, *,
+    cm_tuple, gO, gE, min_identity, min_overlap, max_ignore,
+    la_max: int, lb_max: int, width: int, pblk: int = 256,
+):
+    """Two-phase banded dovetail alignment, fully fused (no traceback).
+
+    Drop-in equivalent of ops.align_lax.fast_dovetail_batch — same
+    outputs, same reference semantics (src/BioLibs.scala:373-591,
+    validity src/ObjectStore.scala:102-141)."""
+    p = a_bases.shape[0]
+    w = width
+    a_t = a_bases.astype(jnp.int32).T
+    b_t = b_bases.astype(jnp.int32).T
+
+    dud_short = b_len < w  # reference would index past B (BioLibs.scala:418)
+
+    best1, bi, bj, fi_c, fj_c = phase1_fused(
+        a_t, b_t, a_len, la_max=la_max, w=w, gO=gO, gE=gE,
+        cm_tuple=cm_tuple, pblk=pblk,
+    )
+    act1 = (best1 > 0) & ~dud_short
+    # inactive pairs keep the best-cell coords (lax-path traceback parity)
+    fi = jnp.where(act1, fi_c, bi)
+    fj = jnp.where(act1, fj_c, bj)
+    dud = ~act1 | (fj != 0)
+    dove_start = fi
+    dove_len = a_len - dove_start
+    zero_row = w // 2
+
+    # dove-shifted A via a flat 1-D gather; B padded so row (u+k) of the
+    # carried band window is B[k - zero_row + u - 1]
+    rows = jnp.arange(la_max, dtype=jnp.int32)[:, None]
+    lanes = jnp.arange(p, dtype=jnp.int32)[None, :]
+    sh_idx = jnp.clip(rows + dove_start[None, :], 0, la_max - 1) * p + lanes
+    a_shift = a_t.reshape(-1)[sh_idx.reshape(-1)].reshape(la_max, p)
+    pad_top = zero_row + 1
+    pad_bot = max(la_max + w + 1 - pad_top - lb_max, 0)
+    b_pad = jnp.concatenate(
+        [
+            jnp.zeros((pad_top, p), jnp.int32),
+            b_t,
+            jnp.zeros((pad_bot, p), jnp.int32),
+        ],
+        axis=0,
+    )
+    best2, bu, bk, uf_c, kf_c, corr_c, err_c = phase2_fused(
+        a_shift, b_pad, dove_len, b_len,
+        la_max=la_max, w=w, zero_row=zero_row, gO=gO, gE=gE,
+        cm_tuple=cm_tuple, pblk=pblk,
+    )
+    act2 = (best2 > 0) & ~dud
+    uf = jnp.where(act2, uf_c, bu)
+    kf = jnp.where(act2, kf_c, bk)
+    z = jnp.zeros_like(uf)
+    corr = jnp.where(act2, corr_c, z)
+    err = jnp.where(act2, err_c, z)
+    steps = corr + err  # each backtrack step is exactly one match or error
+
+    dud_all = dud | (best2 <= 0)
+    start_i = uf + dove_start
+    start_j = kf - zero_row + uf
+    end_i = bu + dove_start
+    end_j = bk - zero_row + bu
+
+    tot = (corr + err).astype(jnp.float32)
+    err_ratio = corr.astype(jnp.float32) / tot
+    ident_ok = err_ratio >= min_identity
+    len_ok = steps >= min_overlap
+    dovetail = ((start_i == 0) & (b_len == end_j)) | (
+        (start_j == 0) & (a_len == end_i)
+    )
+    ahg = start_i - start_j
+    bhg = b_len - a_len + ahg
+    hang_ok = (jnp.abs(ahg) < max_ignore) & (jnp.abs(bhg) < max_ignore)
+    valid = ~dud_all & (tot > 0) & ident_ok & len_ok & dovetail & hang_ok
+    return dict(
+        start_i=start_i, start_j=start_j, end_i=end_i, end_j=end_j,
+        correct=corr, error=err, align_len=steps, dud=dud_all,
+        valid=valid, ahg=ahg, bhg=bhg,
+        align_valid=~dud_all & (tot > 0) & ident_ok & len_ok & dovetail,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("la_max", "lb_max", "width", "cm_tuple", "gO", "gE", "pblk"),
+)
+def fast_dovetail_batch_fused_idx(
+    bases, lengths, a_idx, b_idx, *,
+    cm_tuple, gO, gE, min_identity, min_overlap, max_ignore,
+    la_max: int, lb_max: int, width: int, pblk: int = 256,
+):
+    """Device-resident variant: reads stay on device, per-pair operands
+    are row-gathered from int32 pair-index vectors; returns the
+    OUT_KEYS-stacked [10, P] int32 result (one fetch per batch)."""
+    from sequence_aligner_tpu.ops.align_lax import stack_result
+
+    return stack_result(fast_dovetail_batch_fused(
+        bases[a_idx], lengths[a_idx], bases[b_idx], lengths[b_idx],
+        cm_tuple=cm_tuple, gO=gO, gE=gE, min_identity=min_identity,
+        min_overlap=min_overlap, max_ignore=max_ignore,
+        la_max=la_max, lb_max=lb_max, width=width, pblk=pblk,
+    ))

@@ -170,8 +170,43 @@ def compact_pairs(fst, snd, cnt, keep, cap_out: int):
     return lead[:cap_out], trail[:cap_out], ocnt[:cap_out], n_out
 
 
+@jax.jit
+def sort_occurrences_jit(occ):
+    """Standalone jitted hash sort (so the sort compiles once and its
+    result is shared by the planning pass and the pair stream)."""
+    return sort_occurrences(occ)
+
+
+@jax.jit
+def plan_totals_device(occ_sorted, head_edge, tail_edge, mid_lead, mid_tail):
+    """Exact raw head x middle / tail x middle cross-product totals,
+    computed on device from the hash-sorted occurrence table.
+
+    Device-side replacement of the NumPy ``ops.plan.plan_pair_capacities``
+    (which re-hashed every read on host, an O(N*L log) bottleneck at scale):
+    the per-kmer role counts fall out of the same segment-bound binary
+    searches the stream itself uses, and only two scalars come back to the
+    host.  Mirrors calcPairData's pair-count accounting
+    (src/KmerTable.scala:105-128).
+    """
+    h = occ_sorted["hash"]
+    loc = occ_sorted["loc"]
+    valid = occ_sorted["valid"] & (h != _I32_MAX)
+    is_head = valid & (loc <= head_edge)
+    is_mid = valid & (mid_lead <= loc) & (loc <= mid_tail)
+    is_tail = valid & (loc >= tail_edge)
+    _, mid_prefix, mid_total = _compact_indices(is_mid, cap=1)
+    mid_pref_full = jnp.concatenate([mid_prefix, mid_total[None]])
+    seg_l = _ss(h, h)
+    seg_r = _ss_right(h, h)
+    mid_cnt = (mid_pref_full[seg_r] - mid_pref_full[seg_l]).astype(jnp.int64)
+    h_total = jnp.sum(jnp.where(is_head, mid_cnt, 0))
+    t_total = jnp.sum(jnp.where(is_tail, mid_cnt, 0))
+    return h_total, t_total
+
+
 @partial(
-    jax.jit, static_argnames=("cap_head", "cap_tail", "cap_out")
+    jax.jit, static_argnames=("cap_head", "cap_tail", "cap_out", "presorted")
 )
 def candidate_pairs_stream(
     occ,
@@ -185,6 +220,7 @@ def candidate_pairs_stream(
     cap_head: int,
     cap_tail: int,
     cap_out: int,
+    presorted: bool = False,
 ):
     """Global-stream candidate generation (the single-chip fast path).
 
@@ -205,7 +241,7 @@ def candidate_pairs_stream(
     src/KmerTable.scala:65-71), self-pairs dropped, collision count kept
     within [min_collisions, max_collisions].
     """
-    occ_s = sort_occurrences(occ)
+    occ_s = occ if presorted else sort_occurrences(occ)
     geom = dict(
         head_edge=head_edge, tail_edge=tail_edge,
         mid_lead=mid_lead, mid_tail=mid_tail,

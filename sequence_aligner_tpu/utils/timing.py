@@ -42,7 +42,9 @@ class StageTimer:
             self.stages[name] += dt
 
     def total(self) -> float:
-        return sum(self.stages.values())
+        # dotted names ("pairgen.plan") are nested inside their parent
+        # stage and already counted there
+        return sum(v for k, v in self.stages.items() if "." not in k)
 
     def report(self) -> str:
         lines = ["============ Time Taken ============="]

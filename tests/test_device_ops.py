@@ -304,9 +304,55 @@ def test_pallas_dovetail_matches_oracle():
 
 
 def test_pallas_end_to_end_golden(crp_seqs):
-    """Pallas-fill engine (interpret mode on CPU) reproduces the golden
+    """Fused Pallas engine (interpret mode on CPU) reproduces the golden
     crp177.ovl byte-for-byte."""
     ov = Overlapper(AlignSettings.amos_parity(), use_pallas=True)
     recs = ov.run(crp_seqs)
     ours = "".join(r.render() + "\n" for r in recs)
     assert ours == open("/root/reference/amos/small/crp177.ovl").read()
+
+
+def test_fused_dovetail_matches_oracle():
+    """The fused (traceback-in-fill) kernels match the oracle element-level
+    on random error-sprinkled pairs, including dud and mixed-length cases."""
+    from sequence_aligner_tpu.ops.align_fused import fast_dovetail_batch_fused
+
+    rng = np.random.RandomState(9)
+    seqs = _random_reads(rng, 30, 100)
+    pairs = [(a, b) for a in range(1, 31) for b in range(1, 31) if a != b]
+    rng.shuffle(pairs)
+    pairs = pairs[:64]
+    s = AlignSettings()
+    bases, lengths = encode_reads(seqs)
+    a_idx = np.asarray([a - 1 for a, _ in pairs])
+    b_idx = np.asarray([b - 1 for _, b in pairs])
+    pblk = 64
+    pad = (-len(pairs)) % pblk
+    a_idx = np.concatenate([a_idx, np.repeat(a_idx[-1:], pad)])
+    b_idx = np.concatenate([b_idx, np.repeat(b_idx[-1:], pad)])
+    w = s.band_width(int(lengths[a_idx].max()))
+    res = fast_dovetail_batch_fused(
+        jnp.asarray(bases[a_idx]), jnp.asarray(lengths[a_idx]),
+        jnp.asarray(bases[b_idx]), jnp.asarray(lengths[b_idx]),
+        cm_tuple=tuple(int(x) for x in s.cost_matrix.reshape(-1)),
+        gO=s.gap_open, gE=s.gap_extend,
+        min_identity=jnp.float32(s.min_identity),
+        min_overlap=jnp.int32(s.min_overlap),
+        max_ignore=jnp.int32(s.max_ignore),
+        la_max=bases.shape[1], lb_max=bases.shape[1], width=w, pblk=pblk,
+    )
+    by_id = {q.id: q for q in seqs}
+    for n, (a, b) in enumerate(pairs):
+        o = fast_dovetail_alignment(by_id[a], by_id[b], s)
+        assert bool(res["dud"][n]) == o.dud, (a, b)
+        if o.dud:
+            continue
+        got = (
+            int(res["start_i"][n]), int(res["start_j"][n]),
+            int(res["end_i"][n]), int(res["end_j"][n]),
+            int(res["correct"][n]), int(res["error"][n]),
+            int(res["align_len"][n]),
+        )
+        want = (*o.start, *o.end, o.correct, o.error, o.align_len)
+        assert got == want, (a, b, got, want)
+        assert bool(res["align_valid"][n]) == o.valid(s), (a, b)
