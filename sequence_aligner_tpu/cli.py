@@ -396,22 +396,34 @@ def main(argv: list[str] | None = None) -> int:
               f"pairs) in {ms} milliseconds.\n")
 
     elif act in ("bench-align", "bench-align-quick"):
-        # strategy benchmark matrix (src/Project4.scala:444-481)
+        # full 8-configuration strategy matrix, mirroring the reference's
+        # {quad, linear} x {ST, MT} x {single, block} sweep
+        # (src/Project4.scala:469-481).  Mapping: ST -> host oracle engine,
+        # MT -> device engine; single -> one small batch per launch
+        # (batch_size 256), block -> full batched launches (the JVM's
+        # shared-DP-buffer block strategy maps to batching on TPU; the
+        # oracle aligns per pair either way, so its single/block rows
+        # differ only in dispatch accounting).
         from sequence_aligner_tpu.models.overlapper import Overlapper
 
         seqs = _read(o)
         if act == "bench-align-quick":
             seqs = seqs[: min(len(seqs), 64)]
-        for name, fd, engine in (
-            ("quad device", False, "device"),
-            ("quad oracle", False, "oracle"),
-            ("linear device", True, "device"),
-            ("linear oracle", True, "oracle"),
-        ):
+        configs = []
+        for fd, algo in ((False, "quadratic"), (True, "linear")):
+            for engine in ("oracle", "device"):
+                thr = "ST" if engine == "oracle" else "MT"
+                for block in (False, True):
+                    style = "block" if block else "single"
+                    configs.append((f"{algo} {thr} {style}", fd, engine, block))
+        for name, fd, engine, block in configs:
             try:
                 t0 = time.time()
                 if engine == "device":
-                    n = len(Overlapper(s, fast_dovetail=fd).run(seqs))
+                    n = len(Overlapper(
+                        s, fast_dovetail=fd,
+                        batch_size=(o.batch_size if block else 256),
+                    ).run(seqs))
                 else:
                     from sequence_aligner_tpu.oracle.overlap import (
                         oracle_overlaps,

@@ -54,6 +54,15 @@ def _pow2_at_least(n: int, floor: int = 1024) -> int:
     return c
 
 
+def _cap_at_least(n: int, floor: int = 1024) -> int:
+    """Static capacity tier: next multiple of pow2/8 above n (<= 12.5%
+    padding).  Every stream op pays for the PADDED size, so pure pow2
+    tiers (up to 2x waste) nearly double the pairgen sort/scan cost."""
+    p = _pow2_at_least(n, floor)
+    step = p // 8
+    return ((n + step - 1) // step) * step
+
+
 @dataclasses.dataclass
 class OverlapStats:
     n_reads: int = 0
@@ -85,7 +94,7 @@ def _bucket_indices(lead, lengths, wtab, w, n_out):
     ),
 )
 def _align_chunk(
-    bases, lengths, lead, trail, idx, lo, count, *,
+    bases, lengths, packed, lead, trail, idx, lo, count, *,
     bs: int, width: int, la_max: int, cm_tuple, gO: int, gE: int,
     min_identity, min_overlap, max_ignore, pblk: int, kernel: str,
 ):
@@ -101,21 +110,25 @@ def _align_chunk(
     trail_c = trail[sel]
     a_idx = jnp.clip(lead_c - 1, 0, bases.shape[0] - 1)
     b_idx = jnp.clip(trail_c - 1, 0, bases.shape[0] - 1)
-    ab, al = bases[a_idx], lengths[a_idx]
-    bb, bl = bases[b_idx], lengths[b_idx]
     kw = dict(
         gO=gO, gE=gE, min_identity=min_identity, min_overlap=min_overlap,
         max_ignore=max_ignore, la_max=la_max, lb_max=la_max,
     )
     if kernel == "fused":
         from sequence_aligner_tpu.ops.align_fused import (
-            fast_dovetail_batch_fused,
+            _dove_shift_packed, _fused_core,
         )
 
-        res = fast_dovetail_batch_fused(
-            ab, al, bb, bl, cm_tuple=cm_tuple, width=width, pblk=pblk, **kw
+        a_t = bases[a_idx].astype(jnp.int32).T
+        b_t = bases[b_idx].astype(jnp.int32).T
+        res = _fused_core(
+            a_t, b_t, lengths[a_idx], lengths[b_idx],
+            lambda ds: _dove_shift_packed(packed, a_idx, ds, la_max),
+            cm_tuple=cm_tuple, width=width, pblk=pblk, **kw,
         )
     else:
+        ab, al = bases[a_idx], lengths[a_idx]
+        bb, bl = bases[b_idx], lengths[b_idx]
         cm = jnp.asarray(np.asarray(cm_tuple, np.int32).reshape(4, 4))
         if kernel == "lax":
             res = fast_dovetail_batch(ab, al, bb, bl, cm=cm, width=width, **kw)
@@ -124,26 +137,27 @@ def _align_chunk(
     in_range = (lo + jnp.arange(bs, dtype=jnp.int32)) < count
     res = dict(res)
     res["valid"] = res["valid"] & in_range
+    # rows-are-pairs layout [bs, 12]: downstream valid-compaction scatters
+    # whole rows, so no [12, N]->[N, 12] transpose of the giant
+    # concatenated result is ever needed
     return jnp.concatenate(
         [stack_result(res), lead_c[None, :], trail_c[None, :]], axis=0
-    )
+    ).T
 
 
 @jax.jit
 def _count_valid(stacked):
-    return jnp.sum((stacked[9] > 0).astype(jnp.int32))
+    return jnp.sum((stacked[:, 9] > 0).astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("cap",))
 def _compact_valid(stacked, *, cap: int):
-    """Pack the valid rows of a [12, N] stacked result into [cap, 12]."""
-    mask = stacked[9] > 0
-    n = stacked.shape[1]
+    """Pack the valid rows of a [N, 12] stacked result into [cap, 12]."""
+    mask = stacked[:, 9] > 0
     incl = jnp.cumsum(mask.astype(jnp.int32))
     slot = jnp.where(mask, incl - 1, cap)
-    cols = stacked.T  # [N, 12]
-    buf = jnp.zeros((cap + 1, cols.shape[1]), jnp.int32).at[slot].set(
-        jnp.where(mask[:, None], cols, 0)
+    buf = jnp.zeros((cap + 1, stacked.shape[1]), jnp.int32).at[slot].set(
+        jnp.where(mask[:, None], stacked, 0)
     )
     return buf[:cap]
 
@@ -173,6 +187,7 @@ class Overlapper:
     # ---- stage 1+2: encode + kmer occurrences ----
     def _occurrences(self, bases: np.ndarray, lengths: np.ndarray):
         n = bases.shape[0]
+        self._max_read_id = n  # ordinal ids; drives packed-key eligibility
         ids = np.arange(1, n + 1, dtype=np.int32)
         return kmer_scan(
             jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(ids),
@@ -201,17 +216,18 @@ class Overlapper:
             h_tot, t_tot = plan_totals_device(occ_s, **geom)
             h_tot, t_tot = int(h_tot), int(t_tot)
         printdb(f"pairgen plan: h_total={h_tot} t_total={t_tot}")
-        cap_head = _pow2_at_least(h_tot, 1 << 14)
-        cap_tail = _pow2_at_least(t_tot, 1 << 14)
+        cap_head = _cap_at_least(h_tot, 1 << 14)
+        cap_tail = _cap_at_least(t_tot, 1 << 14)
         out_bound = (h_tot + t_tot) // max(s.min_collisions, 1)
-        cap_out = _pow2_at_least(min(out_bound, h_tot + t_tot), 1 << 14)
+        cap_out = _cap_at_least(min(out_bound, h_tot + t_tot), 1 << 14)
+        packed = getattr(self, "_max_read_id", 1 << 15) < (1 << 15)
         while True:
             out = candidate_pairs_stream(
                 occ_s, **geom,
                 min_collisions=jnp.int32(s.min_collisions),
                 max_collisions=jnp.int32(s.max_collisions),
                 cap_head=cap_head, cap_tail=cap_tail, cap_out=cap_out,
-                presorted=True,
+                presorted=True, packed_ids=packed,
             )
             if not bool(out["overflow"]):
                 break
@@ -245,8 +261,11 @@ class Overlapper:
         empty = tuple(np.zeros(0, np.int32) for _ in range(4))
         if n_pairs == 0:
             return empty
+        from sequence_aligner_tpu.ops.align_fused import pack_reads_le
+
         bases_d = jnp.asarray(bases)
         lengths_d = jnp.asarray(lengths)
+        packed_d = pack_reads_le(bases_d)
         la_max = bases.shape[1]
         # exact band-width-by-length lookup (float32 parity with
         # settings.band_width), uploaded once
@@ -284,11 +303,11 @@ class Overlapper:
             bs = min(self.batch_size, _pow2_at_least(cnt_h, 256))
             for lo in range(0, cnt_h, bs):
                 chunks.append(_align_chunk(
-                    bases_d, lengths_d, lead_dev, trail_dev, idx,
+                    bases_d, lengths_d, packed_d, lead_dev, trail_dev, idx,
                     jnp.int32(lo), cnt,
                     bs=bs, width=w, pblk=256, **kw,
                 ))
-        stacked = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
+        stacked = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
         self.stats.n_alignments = n_pairs
         n_valid = int(_count_valid(stacked))
         self.stats.n_valid = n_valid
@@ -332,7 +351,9 @@ class Overlapper:
             min_overlap=jnp.int32(s.min_overlap),
             max_ignore=jnp.int32(s.max_ignore), kernel=kernel,
         )
-        pos_dev = jnp.asarray(np.arange(npairs, dtype=np.int32))
+        from sequence_aligner_tpu.ops.align_fused import pack_reads_le
+
+        packed_d = pack_reads_le(bases_d)
         lead_dev = jnp.asarray(lead.astype(np.int32))
         trail_dev = jnp.asarray(trail.astype(np.int32))
         for w in np.unique(widths):
@@ -344,17 +365,17 @@ class Overlapper:
             ))
             for lo in range(0, len(idxs), bs):
                 res = _align_chunk(
-                    bases_d, lengths_d, lead_dev, trail_dev, idx_dev,
-                    jnp.int32(lo), jnp.int32(len(idxs)),
+                    bases_d, lengths_d, packed_d, lead_dev, trail_dev,
+                    idx_dev, jnp.int32(lo), jnp.int32(len(idxs)),
                     bs=bs, width=int(w), pblk=256, **kw,
                 )
-                host = np.asarray(res)
+                host = np.asarray(res)  # [bs, 12]
                 chunk = idxs[lo : lo + bs]
                 for r, k in enumerate(OUT_KEYS):
                     if k == "valid":
-                        out[k][chunk] = host[r, : len(chunk)].astype(bool)
+                        out[k][chunk] = host[: len(chunk), r].astype(bool)
                     else:
-                        out[k][chunk] = host[r, : len(chunk)]
+                        out[k][chunk] = host[: len(chunk), r]
         return out
 
     # ---- full pipeline ----

@@ -366,24 +366,60 @@ def phase2_fused(
     return tuple(o[0] for o in outs)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("la_max", "lb_max", "width", "cm_tuple", "gO", "gE", "pblk"),
-)
-def fast_dovetail_batch_fused(
-    a_bases, a_len, b_bases, b_len, *,
-    cm_tuple, gO, gE, min_identity, min_overlap, max_ignore,
-    la_max: int, lb_max: int, width: int, pblk: int = 256,
-):
-    """Two-phase banded dovetail alignment, fully fused (no traceback).
+@jax.jit
+def pack_reads_le(bases):
+    """[N, L] int8 codes -> [N, ceil(L/16)] int32, base r in bits
+    2*(r % 16) of word r // 16 (little-endian: shift-friendly layout for
+    the per-pair dove shift; distinct from encode.pack_2bit's seqHash
+    big-endian transport packing)."""
+    n, l = bases.shape
+    wpad = (-l) % 16
+    b = jnp.pad(bases.astype(jnp.uint32), ((0, 0), (0, wpad))).reshape(
+        n, -1, 16
+    )
+    sh = jnp.arange(16, dtype=jnp.uint32) * 2
+    return jnp.sum(b << sh[None, None, :], axis=2).astype(jnp.int32)
 
-    Drop-in equivalent of ops.align_lax.fast_dovetail_batch — same
-    outputs, same reference semantics (src/BioLibs.scala:373-591,
-    validity src/ObjectStore.scala:102-141)."""
-    p = a_bases.shape[0]
+
+def _dove_shift_packed(packed, a_idx, ds, la_max: int):
+    """codes[r, p] = A[r + ds[p]] via word gathers + per-lane bit shifts.
+
+    The naive formulation is a [la_max, P] element gather (26M random
+    gathers per 262k-pair chunk, ~230 ms at the TPU's ~113M gathers/s);
+    gathering the 2-bit-packed words instead needs 16x fewer gathers, and
+    the sub-word shift is an elementwise variable-amount bit shift.
+    Rows past the read's end decode as code 0 — those rows are beyond
+    dove_len, so every cell they feed is out-of-band (dead)."""
+    n, words = packed.shape
+    bs = a_idx.shape[0]
+    m = ds >> 4
+    s = (2 * (ds & 15)).astype(jnp.uint32)[None, :]
+    q = jnp.arange(words + 1, dtype=jnp.int32)[:, None]
+    wq = m[None, :] + q
+    in_rng = wq < words
+    flat = packed.reshape(-1)
+    w = flat[
+        (a_idx[None, :] * words + jnp.minimum(wq, words - 1)).reshape(-1)
+    ].reshape(words + 1, bs)
+    w = jnp.where(in_rng, w, 0).astype(jnp.uint32)
+    lo = w[:-1] >> s
+    hi = (w[1:] << (jnp.uint32(31) - s)) << jnp.uint32(1)  # avoids shift-by-32
+    ow = jnp.where(s == 0, w[:-1], lo | hi)  # [words, bs]
+    rep = jnp.repeat(ow, 16, axis=0)[:la_max]
+    sh = (2 * (jnp.arange(la_max) % 16)).astype(jnp.uint32)[:, None]
+    return ((rep >> sh) & 3).astype(jnp.int32)
+
+
+def _fused_core(
+    a_t, b_t, a_len, b_len, shift_fn, *,
+    cm_tuple, gO, gE, min_identity, min_overlap, max_ignore,
+    la_max: int, lb_max: int, width: int, pblk: int,
+):
+    """Shared body of the fused dovetail: phase 1, dove anchor, phase 2,
+    validity.  ``shift_fn(dove_start) -> [la_max, P]`` provides the
+    dove-shifted A codes (flat gather or packed-word path)."""
+    p = a_t.shape[1]
     w = width
-    a_t = a_bases.astype(jnp.int32).T
-    b_t = b_bases.astype(jnp.int32).T
 
     dud_short = b_len < w  # reference would index past B (BioLibs.scala:418)
 
@@ -400,12 +436,9 @@ def fast_dovetail_batch_fused(
     dove_len = a_len - dove_start
     zero_row = w // 2
 
-    # dove-shifted A via a flat 1-D gather; B padded so row (u+k) of the
-    # carried band window is B[k - zero_row + u - 1]
-    rows = jnp.arange(la_max, dtype=jnp.int32)[:, None]
-    lanes = jnp.arange(p, dtype=jnp.int32)[None, :]
-    sh_idx = jnp.clip(rows + dove_start[None, :], 0, la_max - 1) * p + lanes
-    a_shift = a_t.reshape(-1)[sh_idx.reshape(-1)].reshape(la_max, p)
+    # dove-shifted A; B padded so row (u+k) of the carried band window is
+    # B[k - zero_row + u - 1]
+    a_shift = shift_fn(dove_start)
     pad_top = zero_row + 1
     pad_bot = max(la_max + w + 1 - pad_top - lb_max, 0)
     b_pad = jnp.concatenate(
@@ -458,18 +491,54 @@ def fast_dovetail_batch_fused(
     jax.jit,
     static_argnames=("la_max", "lb_max", "width", "cm_tuple", "gO", "gE", "pblk"),
 )
-def fast_dovetail_batch_fused_idx(
-    bases, lengths, a_idx, b_idx, *,
+def fast_dovetail_batch_fused(
+    a_bases, a_len, b_bases, b_len, *,
     cm_tuple, gO, gE, min_identity, min_overlap, max_ignore,
     la_max: int, lb_max: int, width: int, pblk: int = 256,
 ):
-    """Device-resident variant: reads stay on device, per-pair operands
-    are row-gathered from int32 pair-index vectors; returns the
-    OUT_KEYS-stacked [10, P] int32 result (one fetch per batch)."""
+    """Two-phase banded dovetail alignment, fully fused (no traceback).
+
+    Drop-in equivalent of ops.align_lax.fast_dovetail_batch — same
+    outputs, same reference semantics (src/BioLibs.scala:373-591,
+    validity src/ObjectStore.scala:102-141)."""
+    p = a_bases.shape[0]
+    a_t = a_bases.astype(jnp.int32).T
+    b_t = b_bases.astype(jnp.int32).T
+
+    def shift_flat(dove_start):
+        rows = jnp.arange(la_max, dtype=jnp.int32)[:, None]
+        lanes = jnp.arange(p, dtype=jnp.int32)[None, :]
+        idx = jnp.clip(rows + dove_start[None, :], 0, la_max - 1) * p + lanes
+        return a_t.reshape(-1)[idx.reshape(-1)].reshape(la_max, p)
+
+    return _fused_core(
+        a_t, b_t, a_len, b_len, shift_flat,
+        cm_tuple=cm_tuple, gO=gO, gE=gE, min_identity=min_identity,
+        min_overlap=min_overlap, max_ignore=max_ignore,
+        la_max=la_max, lb_max=lb_max, width=width, pblk=pblk,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("la_max", "lb_max", "width", "cm_tuple", "gO", "gE", "pblk"),
+)
+def fast_dovetail_batch_fused_idx(
+    bases, lengths, packed, a_idx, b_idx, *,
+    cm_tuple, gO, gE, min_identity, min_overlap, max_ignore,
+    la_max: int, lb_max: int, width: int, pblk: int = 256,
+):
+    """Device-resident variant: reads stay on device ([N, L] codes plus
+    their pack_reads_le words), per-pair operands are row-gathered from
+    int32 pair-index vectors, and the dove shift runs on packed words.
+    Returns the OUT_KEYS-stacked [10, P] int32 result."""
     from sequence_aligner_tpu.ops.align_lax import stack_result
 
-    return stack_result(fast_dovetail_batch_fused(
-        bases[a_idx], lengths[a_idx], bases[b_idx], lengths[b_idx],
+    a_t = bases[a_idx].astype(jnp.int32).T
+    b_t = bases[b_idx].astype(jnp.int32).T
+    shift_fn = lambda ds: _dove_shift_packed(packed, a_idx, ds, la_max)
+    return stack_result(_fused_core(
+        a_t, b_t, lengths[a_idx], lengths[b_idx], shift_fn,
         cm_tuple=cm_tuple, gO=gO, gE=gE, min_identity=min_identity,
         min_overlap=min_overlap, max_ignore=max_ignore,
         la_max=la_max, lb_max=lb_max, width=width, pblk=pblk,

@@ -6,7 +6,7 @@ on TPU; this module re-expresses ``calcPairData`` + ``calcDispatchData``
 static capacities and masking:
 
   1. the occurrence table is sorted by hash ONCE; per-row segment bounds
-     come from vectorized binary search;
+     come from run-boundary cummax/cummin fills;
   2. positional classes (head-edge / middle / tail-edge, geometry of
      src/ObjectStore.scala:32-35) are masks over the sorted table — the
      middle class additionally gets a rank->row compaction so each hash
@@ -16,15 +16,18 @@ static capacities and masking:
      (capacity-padded, masked);
   4. pair ordering follows addKmerPair (src/KmerTable.scala:57-80): self
      pairs are dropped and the occurrence with strictly greater loc leads;
-  5. ordered pairs are aggregated by a two-pass stable 1-key sort (snd,
-     then fst with the invalid bit packed into the key) and run-length
-     counted; runs inside [min_collisions, max_collisions] survive.
+  5. ordered pairs are aggregated by ONE unstable single-operand sort of
+     packed (fst<<16)|snd keys when read ids fit 15 bits (the common case;
+     the reference itself packs pairs as (id<<16)^id,
+     src/KmerTable.scala:73), else by a two-pass stable 1-key radix sort;
+     run-length counting keeps runs inside [min_collisions, max_collisions].
 
-Compile-cost design (axon remote-compile measurements): multi-key
-``lax.sort`` and ``searchsorted(method='sort')`` compile 10-50x slower
-than 1-key sorts / unrolled binary search, so this module uses exactly two
-1-key sort passes for aggregation, one 1-key sort for the table, and
-binary-search joins everywhere else.  All shapes static.
+Performance design (measured on v5e through the axon tunnel): multi-key
+``lax.sort`` compiles 10-50x slower than 1-key sorts, so aggregation uses
+1-key passes only; ``searchsorted(method='scan_unrolled')`` EXECUTES as
+~20 sequential gather passes (25 s at 134M queries), so every join over
+the big pair stream is expressed as scatter + cummax/cummin fills instead.
+All shapes static.
 """
 
 from __future__ import annotations
@@ -78,6 +81,24 @@ def sort_occurrences(occ):
     )
 
 
+def _run_bounds(h):
+    """Segment [l, r) bounds per row of a sorted key array via run-boundary
+    forward/backward fills — two cummax/cummin passes instead of binary
+    searches (scan_unrolled searchsorted costs ~20 sequential gather passes
+    over the query array; measured 25 s at 134M queries on v5e)."""
+    n = h.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), h[1:] != h[:-1]]
+    )
+    seg_l = jax.lax.cummax(jnp.where(first, idx, 0))
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(first, idx, _I32_MAX))))
+    seg_r = jnp.minimum(
+        jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)]), n
+    )
+    return seg_l, seg_r
+
+
 def expand_raw_pairs(occ_sorted, geom, cap_head: int, cap_tail: int):
     """Hash-sorted occurrence table -> flat ordered-pair table (fst, snd,
     ok) of static size cap_head + cap_tail, pre-counting."""
@@ -95,9 +116,8 @@ def expand_raw_pairs(occ_sorted, geom, cap_head: int, cap_tail: int):
     mid_rows, mid_prefix, mid_total = _compact_indices(is_mid)
     # prefix extended to length n+1 so counts in [l, r) index directly
     mid_pref_full = jnp.concatenate([mid_prefix, mid_total[None]])
-    # per-row hash segment bounds (binary search over the sorted hashes)
-    seg_l = _ss(h, h)
-    seg_r = _ss_right(h, h)
+    # per-row hash segment bounds (run-boundary fills over the sorted keys)
+    seg_l, seg_r = _run_bounds(h)
     mid_base = mid_pref_full[seg_l]
     mid_cnt = mid_pref_full[seg_r] - mid_base
     def _expand(edge_mask, cap):
@@ -106,12 +126,26 @@ def expand_raw_pairs(occ_sorted, geom, cap_head: int, cap_tail: int):
         total = cum[-1] if n else jnp.int32(0)
         excl = cum - npairs
         t = jnp.arange(cap, dtype=jnp.int32)
-        ei = _ss_right(cum, t)
-        ei = jnp.minimum(ei, max(n - 1, 0)).astype(jnp.int32)
-        off = t - excl[ei]
+        # source row per stream slot: rows with npairs > 0 have strictly
+        # increasing excl, so scattering the row index at position excl and
+        # cummax-filling reproduces searchsorted_right(cum, t) for t < total
+        # in two passes (vs ~20 gather passes for the unrolled search)
+        pos = jnp.where((npairs > 0) & (excl < cap), excl, cap)
+        mark = jnp.full((cap + 1,), 0, jnp.int32).at[pos].max(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        ei = jax.lax.cummax(mark[:cap])
+        # run-start position (= excl[ei]) by the same fill — no gather
+        run_start = jax.lax.cummax(
+            jnp.full((cap + 1,), 0, jnp.int32).at[pos].max(
+                jnp.where(pos < cap, pos, 0)
+            )[:cap]
+        )
+        off = t - run_start
         mrank = mid_base[ei] + off
         mrow = mid_rows[jnp.clip(mrank, 0, max(mid_rows.shape[0] - 1, 0))]
-        ok = (t < total) & edge_mask[ei]
+        # every slot's source row has npairs > 0, hence is an edge row
+        ok = t < total
         a_id, a_loc = rid[ei], loc[ei]
         b_id, b_loc = rid[mrow], loc[mrow]
         ok &= a_id != b_id  # self pairs skipped (src/KmerTable.scala:61-63)
@@ -182,11 +216,10 @@ def plan_totals_device(occ_sorted, head_edge, tail_edge, mid_lead, mid_tail):
     """Exact raw head x middle / tail x middle cross-product totals,
     computed on device from the hash-sorted occurrence table.
 
-    Device-side replacement of the NumPy ``ops.plan.plan_pair_capacities``
-    (which re-hashed every read on host, an O(N*L log) bottleneck at scale):
-    the per-kmer role counts fall out of the same segment-bound binary
-    searches the stream itself uses, and only two scalars come back to the
-    host.  Mirrors calcPairData's pair-count accounting
+    Replaces round-1's host NumPy plan (which re-hashed every read on
+    host, an O(N*L log) bottleneck at scale): the per-kmer role counts
+    fall out of the same segment bounds the stream itself uses, and only
+    two scalars come back to the host.  Mirrors calcPairData's pair-count accounting
     (src/KmerTable.scala:105-128).
     """
     h = occ_sorted["hash"]
@@ -197,8 +230,7 @@ def plan_totals_device(occ_sorted, head_edge, tail_edge, mid_lead, mid_tail):
     is_tail = valid & (loc >= tail_edge)
     _, mid_prefix, mid_total = _compact_indices(is_mid, cap=1)
     mid_pref_full = jnp.concatenate([mid_prefix, mid_total[None]])
-    seg_l = _ss(h, h)
-    seg_r = _ss_right(h, h)
+    seg_l, seg_r = _run_bounds(h)
     mid_cnt = (mid_pref_full[seg_r] - mid_pref_full[seg_l]).astype(jnp.int64)
     h_total = jnp.sum(jnp.where(is_head, mid_cnt, 0))
     t_total = jnp.sum(jnp.where(is_tail, mid_cnt, 0))
@@ -206,7 +238,10 @@ def plan_totals_device(occ_sorted, head_edge, tail_edge, mid_lead, mid_tail):
 
 
 @partial(
-    jax.jit, static_argnames=("cap_head", "cap_tail", "cap_out", "presorted")
+    jax.jit,
+    static_argnames=(
+        "cap_head", "cap_tail", "cap_out", "presorted", "packed_ids",
+    ),
 )
 def candidate_pairs_stream(
     occ,
@@ -221,19 +256,20 @@ def candidate_pairs_stream(
     cap_tail: int,
     cap_out: int,
     presorted: bool = False,
+    packed_ids: bool = False,
 ):
     """Global-stream candidate generation (the single-chip fast path).
 
     Expands the full edge x middle cross-product stream
     (``expand_raw_pairs``) and aggregates it with two 2-operand stable
     1-key sorts + run-length counting.  Everything is 1-D: on TPU, flat
-    gathers from flat tables are near-free while 2-D lane-axis gathers
-    (take_along_axis) cost ~100 ms per 16M elements — the earlier
-    per-lead-row design (``candidate_pairs_device``) was built around the
-    latter and paid ~10 s at 4k reads; this path is ~50x faster.
+    gathers from flat tables are ~10x cheaper than 2-D lane-axis gathers
+    (take_along_axis) — an earlier per-lead-row design built around the
+    latter paid ~10 s at 4k reads; this global-stream path replaced it.
 
-    Capacities are host-exact: ``plan_pair_capacities`` computes the true
-    h_total/t_total so only cap_out can overflow (retry with 2x).
+    Capacities are exact: ``plan_totals_device`` computes the true
+    h_total/t_total on device, and raw_total // min_collisions bounds
+    cap_out, so overflow retries never fire in practice.
 
     Semantics identical to calcPairData + calcDispatchData
     (src/KmerTable.scala:85-187): per unique k-mer, head-edge x middle and
@@ -251,12 +287,23 @@ def candidate_pairs_stream(
     )
     n = fst.shape[0]
 
-    # ---- radix aggregation: stable sort by snd, then by fst ----
-    fstm = jnp.where(ok, fst, _I32_MAX)
-    key1 = jnp.where(ok, snd, _I32_MAX)
-    key1, fstm = jax.lax.sort((key1, fstm), num_keys=1, is_stable=True)
-    fst2, snd2 = jax.lax.sort((fstm, key1), num_keys=1, is_stable=True)
-    okv = fst2 != _I32_MAX
+    if packed_ids:
+        # read ids < 2^15 (the common case; the reference itself packs pairs
+        # as (id<<16)^id, src/KmerTable.scala:73): ONE unstable single-
+        # operand sort of the packed keys instead of two stable 2-operand
+        # sorts (~7x less sort work)
+        key = jnp.where(ok, (fst << 16) | snd, _I32_MAX)
+        key_s = jax.lax.sort((key,), num_keys=1, is_stable=False)[0]
+        okv = key_s != _I32_MAX
+        fst2 = jnp.where(okv, key_s >> 16, _I32_MAX)
+        snd2 = key_s & 0xFFFF
+    else:
+        # ---- radix aggregation: stable sort by snd, then by fst ----
+        fstm = jnp.where(ok, fst, _I32_MAX)
+        key1 = jnp.where(ok, snd, _I32_MAX)
+        key1, fstm = jax.lax.sort((key1, fstm), num_keys=1, is_stable=True)
+        fst2, snd2 = jax.lax.sort((fstm, key1), num_keys=1, is_stable=True)
+        okv = fst2 != _I32_MAX
 
     # ---- run-length counts via forward/backward run-boundary fills ----
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -277,211 +324,4 @@ def candidate_pairs_stream(
     return dict(
         lead=lead, trail=trail, count=ocnt, n_out=n_out,
         h_tot=h_tot, t_tot=t_tot, overflow=overflow,
-    )
-
-
-@partial(
-    jax.jit,
-    static_argnames=("n_rows", "occ_max", "row_cap", "cap_out"),
-)
-def candidate_pairs_device(
-    occ,
-    group_lookup,
-    group_reads,
-    *,
-    head_edge,
-    tail_edge,
-    mid_lead,
-    mid_tail,
-    min_collisions,
-    max_collisions,
-    n_rows: int,
-    occ_max: int,
-    row_cap: int,
-    cap_out: int,
-):
-    """Per-lead-read segmented pair counting.
-
-    Instead of materializing and sorting the full edge x middle
-    cross-product stream (tens of millions of raw pairs whose giant sorts
-    are impractical to compile), each ordered pair (fst, snd) is counted in
-    its LEAD read's row: every occurrence contributes role expansions
-    (head-edge vs mids, tail-edge vs mids, mid vs heads, mid vs tails), and
-    the addKmerPair loc-ordering rule (src/KmerTable.scala:57-80) assigns
-    each (edge, mid) coincidence to exactly one perspective — the one whose
-    read leads.  Rows of size ``row_cap`` are then sorted independently
-    (small batched bitonic program) and run-length counted, giving exact
-    global per-pair counts with every compiled sort fixed-size.
-
-    This mirrors the reference's dispatch-block structure (lead + trailing
-    set, src/KmerTable.scala:246-273) as the parallel decomposition.
-
-    ``group_lookup`` [max_read_id + 1] maps a read id to its row in this
-    call's read group (-1 if not in the group) and ``group_reads`` [n_rows]
-    maps rows back to read ids — the host driver partitions reads into
-    row-size tiers so heavy (repeat-rich) reads run at a larger row_cap
-    without inflating everyone's arrays.  Counterpart (snd) reads are
-    unrestricted, so per-group counts are exact global counts.
-
-    Returns dict: lead/trail/count [cap_out], n_out, drop_occ (occurrences
-    past occ_max per read), drop_row (row entries past row_cap), overflow.
-    """
-    occ_s = sort_occurrences(occ)
-    h = occ_s["hash"]
-    rid = occ_s["read_id"]
-    loc = occ_s["loc"]
-    valid = occ_s["valid"] & (h != _I32_MAX)
-    n = h.shape[0]
-
-    is_head = valid & (loc <= head_edge)
-    is_mid = valid & (mid_lead <= loc) & (loc <= mid_tail)
-    is_tail = valid & (loc >= tail_edge)
-
-    # role member tables: rank -> hash-sorted row
-    mid_rows, mid_pref, mid_tot = _compact_indices(is_mid)
-    head_rows, head_pref, head_tot = _compact_indices(is_head)
-    tail_rows, tail_pref, tail_tot = _compact_indices(is_tail)
-    mid_f = jnp.concatenate([mid_pref, mid_tot[None]])
-    head_f = jnp.concatenate([head_pref, head_tot[None]])
-    tail_f = jnp.concatenate([tail_pref, tail_tot[None]])
-    cat_rows = jnp.concatenate([mid_rows, head_rows, tail_rows])
-
-    # per-occurrence segment info (hash order)
-    seg_l = _ss(h, h)
-    seg_r = _ss_right(h, h)
-    mid_base = mid_f[seg_l]
-    midc = mid_f[seg_r] - mid_base
-    head_base = head_f[seg_l]
-    headc = head_f[seg_r] - head_base
-    tail_base = tail_f[seg_l]
-    tailc = tail_f[seg_r] - tail_base
-
-    z = jnp.zeros_like(midc)
-    nh = jnp.where(is_head, midc, z)
-    nt = jnp.where(is_tail, midc, z)
-    nmh = jnp.where(is_mid, headc, z)
-    nmt = jnp.where(is_mid, tailc, z)
-    r1 = nh
-    r2 = nh + nt
-    r3 = r2 + nmh
-    r4 = r3 + nmt  # n_o
-
-    # ---- order descriptors by group row (1 small sort + gathers) ----
-    grow = group_lookup[jnp.clip(rid, 0, group_lookup.shape[0] - 1)]
-    rkey = jnp.where(valid & (r4 > 0) & (grow >= 0), grow, _I32_MAX)
-    rkey_s, perm = jax.lax.sort(
-        (rkey, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
-    )
-    g = lambda a: a[perm]
-    n_o = g(r4)
-    # per-read block base offsets
-    incl = jnp.cumsum(n_o)
-    excl = incl - n_o
-    read_start = _ss(rkey_s, rkey_s)
-    base = excl - excl[read_start]
-    occ_rank = jnp.arange(n, dtype=jnp.int32) - read_start
-
-    dok = (rkey_s != _I32_MAX) & (occ_rank < occ_max)
-    drop_occ = jnp.sum(((rkey_s != _I32_MAX) & (occ_rank >= occ_max)).astype(jnp.int32))
-    rrow = jnp.clip(rkey_s, 0, n_rows - 1)
-    dslot = jnp.where(dok, rrow * occ_max + occ_rank, n_rows * occ_max)
-
-    # single stacked scatter for all 9 descriptor fields (separate scatters
-    # each cost ~12s of TPU compile); loc travels bitcast as int32
-    fields = jnp.stack(
-        [
-            base,                      # 0: base offset in the read row
-            g(r1), g(r2), g(r3), g(r4),  # 1-4: role boundaries
-            g(mid_base),               # 5: counterpart rank bases
-            g(head_base) + n,          #    (global offsets into cat_rows)
-            g(tail_base) + 2 * n,
-            jax.lax.bitcast_convert_type(g(loc), jnp.int32),  # 8: occ loc
-        ],
-        axis=1,
-    )
-    fills = jnp.asarray(
-        [_I32_MAX, 0, 0, 0, 0, 0, 0, 0, 0], dtype=jnp.int32
-    )
-    buf = jnp.broadcast_to(fills, (n_rows * occ_max + 1, 9))
-    packed = buf.at[dslot].set(jnp.where(dok[:, None], fields, fills))
-    packed = packed[: n_rows * occ_max].reshape(n_rows, occ_max, 9)
-    d_base = packed[:, :, 0]
-    d_r1, d_r2, d_r3, d_r4 = (packed[:, :, i] for i in range(1, 5))
-    d_mb, d_hb, d_tb = (packed[:, :, i] for i in range(5, 8))
-    d_loc = jax.lax.bitcast_convert_type(packed[:, :, 8], jnp.float32)
-
-    # per-row raw totals / overflow
-    row_tot = jax.ops.segment_sum(
-        jnp.where(valid & (grow >= 0), r4, 0),
-        jnp.clip(grow, 0, n_rows - 1),
-        num_segments=n_rows,
-    )
-    drop_row = jnp.sum(jnp.maximum(row_tot - row_cap, 0))
-
-    # ---- expansion into per-read rows ----
-    t = jnp.arange(row_cap, dtype=jnp.int32)
-
-    def row_desc(base_row):
-        return jnp.searchsorted(
-            base_row, t, side="right", method="scan_unrolled"
-        ).astype(jnp.int32) - 1
-
-    d_idx = jax.vmap(row_desc)(d_base)  # [n_rows, row_cap]
-    d_idx = jnp.clip(d_idx, 0, occ_max - 1)
-    take = lambda m: jnp.take_along_axis(m, d_idx, axis=1)
-    local = t[None, :] - take(d_base)
-    rr1, rr2, rr3, rr4 = take(d_r1), take(d_r2), take(d_r3), take(d_r4)
-    in_exp = (local >= 0) & (local < rr4)
-    crank = jnp.where(
-        local < rr1, take(d_mb) + local,
-        jnp.where(
-            local < rr2, take(d_mb) + (local - rr1),
-            jnp.where(
-                local < rr3, take(d_hb) + (local - rr2),
-                take(d_tb) + (local - rr3),
-            ),
-        ),
-    )
-    crow = cat_rows[jnp.clip(crank, 0, 3 * n - 1)]
-    snd = rid[crow]
-    sloc = loc[crow]
-    o_loc = take(d_loc)
-    is_edge_role = local < rr2
-    # lead rule: edge role counts iff o.loc > counterpart loc; mid role
-    # counts iff counterpart (edge) loc <= o.loc — ties lead the mid side
-    lead_ok = jnp.where(is_edge_role, o_loc > sloc, sloc <= o_loc)
-    me = group_reads[:, None]
-    ok = in_exp & lead_ok & (snd != me)
-    val = jnp.where(ok, snd, _I32_MAX)
-
-    # ---- per-row sort + run-length count ----
-    val_s = jax.lax.sort(val, dimension=1, is_stable=False)
-    first = jnp.concatenate(
-        [
-            jnp.ones((n_rows, 1), jnp.bool_),
-            val_s[:, 1:] != val_s[:, :-1],
-        ],
-        axis=1,
-    ) & (val_s != _I32_MAX)
-
-    def row_counts(row):
-        lo = jnp.searchsorted(row, row, side="left", method="scan_unrolled")
-        hi = jnp.searchsorted(row, row, side="right", method="scan_unrolled")
-        return (hi - lo).astype(jnp.int32)
-
-    cnt = jax.vmap(row_counts)(val_s)
-    keep = first & (min_collisions <= cnt) & (cnt <= max_collisions)
-
-    # ---- global compaction ----
-    flat_keep = keep.reshape(-1)
-    flat_lead = jnp.broadcast_to(me, (n_rows, row_cap)).reshape(-1)
-    flat_trail = val_s.reshape(-1)
-    flat_cnt = cnt.reshape(-1)
-    lead, trail, ocnt, n_out = compact_pairs(
-        flat_lead, flat_trail, flat_cnt, flat_keep, cap_out
-    )
-    overflow = (drop_occ > 0) | (drop_row > 0) | (n_out > cap_out)
-    return dict(
-        lead=lead, trail=trail, count=ocnt, n_out=n_out,
-        drop_occ=drop_occ, drop_row=drop_row, overflow=overflow,
     )

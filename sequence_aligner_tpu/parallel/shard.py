@@ -16,11 +16,17 @@ One step, per device, inside ``shard_map`` over a 1-D ``shard`` mesh axis:
      by pair hash so each pair's global count lands on one owner device —
      this preserves the reference's *global* collision-band semantics
      (src/KmerTable.scala:155-187) under sharding;
-  5. owner filters the collision band, aligns its candidate pairs against
-     an all-gathered 2-bit read block (ops.align_lax), and emits masked
+  5. owner fetches ONLY the read rows its candidate pairs touch, via a
+     request/response all-to-all against the id-sharded read blocks —
+     per-device traffic is O(cap_out * L), independent of the total read
+     count (an all-gather of all reads would be O(N * L) per device and
+     fatal at the 1M/20M-read scale targets);
+  6. owner aligns its candidates with the fused dovetail kernels, one pass
+     per distinct band width (host-known, usually one), and emits masked
      OVL fields; host concatenates, filters, sorts canonically.
 
-All shapes static; every capacity has an explicit drop counter.
+All shapes static; every capacity has an explicit drop counter, and the
+driver retries doubling ONLY the capacities that overflowed.
 """
 
 from __future__ import annotations
@@ -30,7 +36,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from sequence_aligner_tpu.core.settings import AlignSettings
 from sequence_aligner_tpu.ops.align_lax import fast_dovetail_batch
@@ -81,12 +87,58 @@ def _exchange(bins: dict, axis: str):
     return out
 
 
+def _fetch_read_rows(
+    ids, bases_local, lengths_local, n_local: int, n_dev: int, axis: str,
+    cap_req: int,
+):
+    """Fetch base rows + lengths for arbitrary read ids from the
+    id-sharded read blocks via request/response all-to-alls.
+
+    ids: [m] 1-based read ids (0 = hole).  Returns (rows [m, L] int8,
+    lens [m] int32, dropped) — per-device traffic O(m * L), never O(N * L).
+    """
+    m = ids.shape[0]
+    owner = jnp.clip((ids - 1) // n_local, 0, n_dev - 1)
+    valid = ids > 0
+    bins, dropped = _route(
+        dict(rid=ids, src=jnp.arange(m, dtype=jnp.int32)),
+        owner, valid, n_dev, cap_req,
+    )
+    recv = _exchange(bins, axis)
+    # serve: local row index of each requested id
+    local_row = jnp.clip(
+        recv["rid"].reshape(-1) - 1 - jax.lax.axis_index(axis) * n_local,
+        0, n_local - 1,
+    )
+    rows = jnp.where(
+        recv["_sent"].reshape(-1)[:, None],
+        bases_local[local_row],
+        jnp.zeros((), bases_local.dtype),
+    ).reshape(n_dev, cap_req, -1)
+    lens = jnp.where(
+        recv["_sent"].reshape(-1),
+        lengths_local[local_row],
+        0,
+    ).reshape(n_dev, cap_req)
+    back_rows = _exchange(dict(r=rows), axis)["r"].reshape(n_dev * cap_req, -1)
+    back_lens = _exchange(dict(l=lens), axis)["l"].reshape(-1)
+    # scatter responses into request order: bins['src'] still lives on the
+    # requester (all_to_all bin layout is position-stable both ways)
+    src = bins["src"].reshape(-1)
+    sent = bins["_sent"].reshape(-1)
+    slot = jnp.where(sent, src, m)
+    out_rows = jnp.zeros((m + 1, bases_local.shape[1]), bases_local.dtype)
+    out_rows = out_rows.at[slot].set(back_rows)[:m]
+    out_lens = jnp.zeros((m + 1,), jnp.int32).at[slot].set(back_lens)[:m]
+    return out_rows, out_lens, dropped
+
+
 def make_sharded_overlap_step(
     mesh: Mesh,
     s: AlignSettings,
     *,
     la_max: int,
-    width: int,
+    widths: tuple[int, ...],
     cap_route: int,
     cap_head: int,
     cap_tail: int,
@@ -94,11 +146,15 @@ def make_sharded_overlap_step(
     cap_pair_route: int,
     cap_out: int,
     axis: str = "shard",
+    use_fused: bool | None = None,
 ):
     """Build the jitted sharded step.
 
+    widths: the host-known set of band widths present in the input (one
+    fused-alignment pass per width; usually a single element).
+
     Returns fn(bases [N, la_max] int8, lengths [N] int32, ids [N] int32)
-    -> dict of [n_dev * cap_out] OVL fields + drop counters, where N must
+    -> tuple of [n_dev * cap_out] OVL fields + drop counters, where N must
     be divisible by the mesh size.
     """
     n_dev = mesh.shape[axis]
@@ -110,8 +166,51 @@ def make_sharded_overlap_step(
     )
     min_c = jnp.int32(s.min_collisions)
     max_c = jnp.int32(s.max_collisions)
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
+    # exact band-width lookup by lead length (float32 parity)
+    wtab = jnp.asarray(
+        [s.band_width(l) for l in range(la_max + 1)], np.int32
+    )
+
+    def _align_bucketed(lead, trail, a_rows, a_lens, b_rows, b_lens):
+        """One fused pass per band width; per-pair result selected from
+        the pass matching its lead read's width."""
+        kw = dict(
+            gO=s.gap_open, gE=s.gap_extend,
+            min_identity=jnp.float32(s.min_identity),
+            min_overlap=jnp.int32(s.min_overlap),
+            max_ignore=jnp.int32(s.max_ignore),
+            la_max=la_max, lb_max=la_max,
+        )
+        pw = wtab[jnp.clip(a_lens, 0, la_max)]
+        res = None
+        for w in widths:
+            if use_fused:
+                from sequence_aligner_tpu.ops.align_fused import (
+                    fast_dovetail_batch_fused,
+                )
+
+                r = fast_dovetail_batch_fused(
+                    a_rows, a_lens, b_rows, b_lens,
+                    cm_tuple=tuple(int(x) for x in s.cost_matrix.reshape(-1)),
+                    width=int(w), **kw,
+                )
+            else:
+                r = fast_dovetail_batch(
+                    a_rows, a_lens, b_rows, b_lens,
+                    cm=jnp.asarray(s.cost_matrix), width=int(w), **kw,
+                )
+            if res is None:
+                res = r
+            else:
+                take = pw == w
+                res = {k: jnp.where(take, r[k], res[k]) for k in r}
+        return res
 
     def step(bases, lengths, ids):
+        n_local = bases.shape[0]
+
         # ---- 1. local k-mers ----
         occ = kmer_scan(bases, lengths, ids, s.kmer_size)
 
@@ -133,7 +232,7 @@ def make_sharded_overlap_step(
         fst, snd, ok, h_tot, t_tot = expand_raw_pairs(
             sort_occurrences(occ2), geom, cap_head, cap_tail
         )
-        pair_overflow = (h_tot > cap_head) | (t_tot > cap_tail)
+        pair_overflow = ((h_tot > cap_head) | (t_tot > cap_tail)).astype(jnp.int32)
 
         # ---- 4. local pre-aggregation + pair-key all-to-all ----
         afst, asnd, acnt, afirst = aggregate_pairs(
@@ -142,7 +241,7 @@ def make_sharded_overlap_step(
         # keep only run representatives, re-compact to cap_agg
         lfst, lsnd, lcnt, n_agg = compact_pairs(afst, asnd, acnt, afirst, cap_agg)
         agg_valid = jnp.arange(cap_agg, dtype=jnp.int32) < n_agg
-        agg_overflow = n_agg > cap_agg
+        agg_overflow = (n_agg > cap_agg).astype(jnp.int32)
         ptgt = (
             (lfst.astype(jnp.uint32) * jnp.uint32(2654435761)
              ^ lsnd.astype(jnp.uint32)) % jnp.uint32(n_dev)
@@ -163,30 +262,23 @@ def make_sharded_overlap_step(
         keep = gfirst & (min_c <= gcnt) & (gcnt <= max_c)
         lead, trail, _, n_out = compact_pairs(gfst, gsnd, gcnt, keep, cap_out)
         out_valid = jnp.arange(cap_out, dtype=jnp.int32) < n_out
-        out_overflow = n_out > cap_out
+        out_overflow = (n_out > cap_out).astype(jnp.int32)
 
-        # ---- 6. align owned candidates against all-gathered reads ----
-        all_bases = jax.lax.all_gather(bases, axis, axis=0, tiled=True)
-        all_lengths = jax.lax.all_gather(lengths, axis, axis=0, tiled=True)
-        a_idx = jnp.clip(lead - 1, 0, all_bases.shape[0] - 1)
-        b_idx = jnp.clip(trail - 1, 0, all_bases.shape[0] - 1)
-        res = fast_dovetail_batch(
-            all_bases[a_idx], all_lengths[a_idx],
-            all_bases[b_idx], all_lengths[b_idx],
-            cm=jnp.asarray(s.cost_matrix), gO=s.gap_open, gE=s.gap_extend,
-            min_identity=jnp.float32(s.min_identity),
-            min_overlap=jnp.int32(s.min_overlap),
-            max_ignore=jnp.int32(s.max_ignore),
-            la_max=la_max, lb_max=la_max, width=width,
+        # ---- 6. fetch ONLY the needed read rows, then align ----
+        need = jnp.concatenate([
+            jnp.where(out_valid, lead, 0), jnp.where(out_valid, trail, 0),
+        ])
+        rows, lens, drop_req = _fetch_read_rows(
+            need, bases, lengths, n_local, n_dev, axis, cap_req=cap_out,
         )
+        a_rows, b_rows = rows[:cap_out], rows[cap_out:]
+        a_lens, b_lens = lens[:cap_out], lens[cap_out:]
+        res = _align_bucketed(lead, trail, a_rows, a_lens, b_rows, b_lens)
         valid = res["valid"] & out_valid
         drops = jnp.stack(
             [
-                drop_kmer,
-                drop_pairs,
-                pair_overflow.astype(jnp.int32),
-                agg_overflow.astype(jnp.int32),
-                out_overflow.astype(jnp.int32),
+                drop_kmer, drop_pairs, pair_overflow, agg_overflow,
+                out_overflow, drop_req,
             ]
         )
         return (
@@ -195,19 +287,24 @@ def make_sharded_overlap_step(
             jnp.where(out_valid, trail, 0),
             res["ahg"],
             res["bhg"],
-            drops[None, :],  # [1, 5] per device -> [n_dev, 5] global
+            drops[None, :],  # [1, 6] per device -> [n_dev, 6] global
         )
 
-    from jax.experimental.shard_map import shard_map
-
-    sharded = shard_map(
+    sharded = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
+
+
+# drop-counter index -> capacities to double on retry
+_DROP_CAPS = (
+    ("cap_route",), ("cap_pair_route",), ("cap_head", "cap_tail"),
+    ("cap_agg",), ("cap_out",), ("cap_out",),
+)
 
 
 def sharded_overlap(
@@ -220,7 +317,8 @@ def sharded_overlap(
     """Host driver: run the sharded step and return canonical OVL records.
 
     Capacities default to generous bounds derived from the input size; the
-    step reports drops/overflows and the driver retries doubled if any.
+    step reports drops/overflows per capacity and the driver retries with
+    ONLY the overflowed capacities doubled.
     """
     from sequence_aligner_tpu.core.records import OverlapRecord
     from sequence_aligner_tpu.ops.encode import encode_reads
@@ -238,13 +336,7 @@ def sharded_overlap(
         [np.arange(1, n + 1, dtype=np.int32), np.zeros(pad, np.int32)]
     )
     n_kmers = int(np.sum(np.maximum(lengths - s.kmer_size + 1, 0)))
-    widths = {s.band_width(int(x)) for x in lengths[:n]}
-    if len(widths) != 1:
-        raise NotImplementedError(
-            "sharded path currently requires a uniform band width "
-            f"(got {sorted(widths)}); use the single-device Overlapper"
-        )
-    (width,) = widths
+    widths = tuple(sorted({s.band_width(int(x)) for x in lengths[:n]}))
 
     caps = dict(caps or {})
     caps.setdefault("cap_route", max(1024, 2 * n_kmers // max(n_dev, 1)))
@@ -254,21 +346,44 @@ def sharded_overlap(
     caps.setdefault("cap_pair_route", max(4096, caps["cap_agg"] // max(n_dev // 2, 1)))
     caps.setdefault("cap_out", 1 << 16)
 
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        # mesh spans processes: inputs must be global arrays (each process
+        # holds the full host copy and contributes its devices' rows), and
+        # outputs come back via a cross-process allgather
+        from jax.experimental import multihost_utils
+        from jax.sharding import NamedSharding
+
+        sharding = NamedSharding(mesh, P("shard"))
+
+        def to_dev(x):
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx]
+            )
+
+        def to_host(x):
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    else:
+        to_dev = jnp.asarray
+        to_host = np.asarray
+
     while True:
         step = make_sharded_overlap_step(
-            mesh, s, la_max=l, width=width, **caps
+            mesh, s, la_max=l, widths=widths, **caps
         )
         valid, lead, trail, ahg, bhg, drops = step(
-            jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(ids)
+            to_dev(bases), to_dev(lengths), to_dev(ids)
         )
-        drops = np.asarray(drops)
+        drops = to_host(drops).sum(axis=0)  # [6] summed over devices
         if drops.sum() == 0:
             break
-        for k in caps:
-            caps[k] *= 2
-    valid = np.asarray(valid)
-    lead, trail = np.asarray(lead), np.asarray(trail)
-    ahg, bhg = np.asarray(ahg), np.asarray(bhg)
+        for i, capnames in enumerate(_DROP_CAPS):
+            if drops[i] > 0:
+                for name in capnames:
+                    caps[name] *= 2
+    valid = to_host(valid)
+    lead, trail = to_host(lead), to_host(trail)
+    ahg, bhg = to_host(ahg), to_host(bhg)
     idx = np.nonzero(valid)[0]
     recs = [
         OverlapRecord(

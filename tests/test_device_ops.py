@@ -213,34 +213,29 @@ def test_candidate_pairs_repeat_heavy_tiers():
     assert sorted(zip(lead.tolist(), trail.tolist())) == t.candidate_pairs(s)
 
 
-def test_candidate_pairs_count_values_match_oracle(crp_seqs):
-    """Not just the pair set: the collision counts themselves must match."""
+@pytest.mark.parametrize("packed", [False, True])
+def test_candidate_pairs_count_values_match_oracle(crp_seqs, packed):
+    """Not just the pair set: the collision counts themselves must match
+    (both aggregation paths: packed single-sort and 2-pass stable)."""
     s = AlignSettings.amos_parity()
     ov = Overlapper(s)
     from sequence_aligner_tpu.ops.encode import encode_reads as enc
 
     bases, lengths = enc(crp_seqs[:64])
     occ = ov._occurrences(bases, lengths)
-    import jax.numpy as jnp
-    from sequence_aligner_tpu.ops.pairgen import candidate_pairs_device
-    from sequence_aligner_tpu.ops.plan import plan_pair_capacities
+    from sequence_aligner_tpu.ops.pairgen import candidate_pairs_stream
 
-    plan = plan_pair_capacities(bases, lengths, s)
-    n = bases.shape[0]
-    gl = np.full(n + 1, -1, np.int32)
-    gl[1:] = np.arange(n, dtype=np.int32)
-    gr = np.arange(1, n + 1, dtype=np.int32)
-    out = candidate_pairs_device(
-        occ, jnp.asarray(gl), jnp.asarray(gr),
+    out = candidate_pairs_stream(
+        occ,
         head_edge=jnp.float32(s.kmer_head_edge),
         tail_edge=jnp.float32(s.kmer_tail_edge),
         mid_lead=jnp.float32(s.kmer_mid_lead_edge),
         mid_tail=jnp.float32(s.kmer_mid_tail_edge),
         min_collisions=jnp.int32(1), max_collisions=jnp.int32(10**9),
-        n_rows=n, occ_max=128,
-        row_cap=max(256, 1 << (int(plan["row_max"]).bit_length())),
-        cap_out=1 << 14,
+        cap_head=1 << 16, cap_tail=1 << 16, cap_out=1 << 15,
+        packed_ids=packed,
     )
+    assert not bool(out["overflow"])
     k = int(out["n_out"])
     got = {
         (int(out["lead"][i]), int(out["trail"][i])): int(out["count"][i])

@@ -108,6 +108,28 @@ def test_cli_dispatch_and_alignment_modes():
     assert r.returncode == 0 and "Histogram Of Relations" in r.stdout
 
 
+def test_cli_bench_align_eight_configs(tmp_path):
+    """--bench-align runs the reference's full 8-configuration matrix:
+    {quad, linear} x {ST, MT} x {single, block} (src/Project4.scala:469-481)."""
+    genome = "".join("ACTGTTGACA"[i % 10] + "ACTG"[(i * 7) % 4] for i in range(300))
+    from sequence_aligner_tpu.core.records import Sequence
+    from sequence_aligner_tpu.pipeline.datasets import write_seq
+
+    seqs = [Sequence(i + 1, genome[i * 25 : i * 25 + 80]) for i in range(12)]
+    p = tmp_path / "b.seq"
+    write_seq(seqs, str(p))
+    r = _cli("-i", str(p), "--bench-align-quick", "--min-collisions", "1")
+    assert r.returncode == 0, r.stdout + r.stderr
+    lines = [l for l in r.stdout.splitlines() if l.startswith("Calculated")]
+    assert len(lines) == 8, r.stdout
+    for algo in ("quadratic", "linear"):
+        for thr in ("ST", "MT"):
+            for style in ("single", "block"):
+                assert any(f"{algo} {thr} {style}" in l for l in lines), (
+                    algo, thr, style, lines,
+                )
+
+
 def test_cli_hoxd_matrix_flag(tmp_path):
     out = str(tmp_path / "h.ovl")
     r = _cli("-i", CRP_SEQ, "-o", out, "--amos-parity", "--engine", "oracle",

@@ -41,6 +41,35 @@ def test_sharded_capacity_retry(crp_seqs):
     ]
 
 
+def test_sharded_mixed_band_widths():
+    """Reads of different length classes (distinct band widths) align
+    correctly under sharding — one fused pass per width, per-pair select."""
+    from sequence_aligner_tpu.core.records import Sequence
+    from sequence_aligner_tpu.models.overlapper import Overlapper
+
+    rng = np.random.RandomState(21)
+    bases = "ACTG"
+    genome = "".join(bases[i] for i in rng.randint(0, 4, 4000))
+    seqs = []
+    for i in range(24):
+        start = 150 * i % 2400
+        ln = 400 if i % 3 == 0 else 700  # widths 12 vs 15 (k=12, id=0.98)
+        seqs.append(Sequence(i + 1, genome[start : start + ln]))
+    s = AlignSettings.amos_parity()
+    assert len({s.band_width(len(q.seq)) for q in seqs}) > 1
+    mesh = make_mesh(4)
+    recs = sharded_overlap(
+        seqs, s, mesh,
+        caps=dict(cap_head=1 << 16, cap_tail=1 << 16, cap_agg=1 << 13,
+                  cap_out=1 << 10),
+    )
+    want = Overlapper(s).run(seqs)
+    assert [(r.id_a, r.id_b, r.ahg, r.bhg) for r in recs] == [
+        (r.id_a, r.id_b, r.ahg, r.bhg) for r in want
+    ]
+    assert recs, "mixed-width dataset produced no overlaps"
+
+
 def test_dryrun_multichip():
     import sys
 
