@@ -36,7 +36,7 @@ from sequence_aligner_tpu.core.records import OverlapRecord, Sequence
 from sequence_aligner_tpu.core.settings import AlignSettings
 from sequence_aligner_tpu.io.fasta import read_fasta
 from sequence_aligner_tpu.ops.align_lax import (
-    OUT_KEYS, fast_dovetail_batch, local_align_batch, stack_result,
+    OUT_KEYS, local_align_batch, stack_result,
 )
 from sequence_aligner_tpu.ops.encode import encode_reads
 from sequence_aligner_tpu.ops.kmer import kmer_scan
@@ -126,14 +126,11 @@ def _align_chunk(
             lambda ds: _dove_shift_packed(packed, a_idx, ds, la_max),
             cm_tuple=cm_tuple, width=width, pblk=pblk, **kw,
         )
-    else:
+    else:  # quadratic full SW
         ab, al = bases[a_idx], lengths[a_idx]
         bb, bl = bases[b_idx], lengths[b_idx]
         cm = jnp.asarray(np.asarray(cm_tuple, np.int32).reshape(4, 4))
-        if kernel == "lax":
-            res = fast_dovetail_batch(ab, al, bb, bl, cm=cm, width=width, **kw)
-        else:  # quadratic full SW
-            res = local_align_batch(ab, al, bb, bl, cm=cm, **kw)
+        res = local_align_batch(ab, al, bb, bl, cm=cm, **kw)
     in_range = (lo + jnp.arange(bs, dtype=jnp.int32)) < count
     res = dict(res)
     res["valid"] = res["valid"] & in_range
@@ -176,10 +173,9 @@ class Overlapper:
         self.s = settings
         self.fast_dovetail = fast_dovetail
         self.batch_size = batch_size
-        if use_pallas is None:
-            # Pallas fills are the fast path on real TPU; the interpret-mode
-            # fallback on CPU is slower than the lax scans
-            use_pallas = jax.default_backend() == "tpu"
+        # retained for API compatibility: the fused kernels dispatch by
+        # backend themselves (Pallas on TPU, the same row steps under
+        # lax.scan elsewhere)
         self.use_pallas = use_pallas
         self.stats = OverlapStats()
         self.timer = StageTimer()
@@ -188,6 +184,14 @@ class Overlapper:
     def _occurrences(self, bases: np.ndarray, lengths: np.ndarray):
         n = bases.shape[0]
         self._max_read_id = n  # ordinal ids; drives packed-key eligibility
+        real = lengths[lengths > 0]
+        den = int(real[0]) - self.s.kmer_size if real.size else 0
+        self._uniform_den = (
+            den
+            if 0 < den < (1 << 12) and n < (1 << 18)
+            and bool((real == real[0]).all())
+            else 0
+        )
         ids = np.arange(1, n + 1, dtype=np.int32)
         return kmer_scan(
             jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(ids),
@@ -221,13 +225,15 @@ class Overlapper:
         out_bound = (h_tot + t_tot) // max(s.min_collisions, 1)
         cap_out = _cap_at_least(min(out_bound, h_tot + t_tot), 1 << 14)
         packed = getattr(self, "_max_read_id", 1 << 15) < (1 << 15)
+        # uniform-read-length fast path: 3 gathers/slot instead of 6
+        pack_den = getattr(self, "_uniform_den", 0)
         while True:
             out = candidate_pairs_stream(
                 occ_s, **geom,
                 min_collisions=jnp.int32(s.min_collisions),
                 max_collisions=jnp.int32(s.max_collisions),
                 cap_head=cap_head, cap_tail=cap_tail, cap_out=cap_out,
-                presorted=True, packed_ids=packed,
+                presorted=True, packed_ids=packed, pack_den=pack_den,
             )
             if not bool(out["overflow"]):
                 break
@@ -277,10 +283,7 @@ class Overlapper:
             [0] if not self.fast_dovetail
             else sorted(set(int(w) for w in wtab_host[lengths[lengths > 0]]))
         )
-        kernel = (
-            "quad" if not self.fast_dovetail
-            else ("fused" if self.use_pallas else "lax")
-        )
+        kernel = "fused" if self.fast_dovetail else "quad"
         cm_tuple = tuple(int(x) for x in s.cost_matrix.reshape(-1))
         kw = dict(
             la_max=la_max, cm_tuple=cm_tuple, gO=s.gap_open, gE=s.gap_extend,
@@ -339,10 +342,7 @@ class Overlapper:
         widths = s.band_widths(la) if self.fast_dovetail else np.zeros_like(la)
         bases_d = jnp.asarray(bases)
         lengths_d = jnp.asarray(lengths)
-        kernel = (
-            "quad" if not self.fast_dovetail
-            else ("fused" if self.use_pallas else "lax")
-        )
+        kernel = "fused" if self.fast_dovetail else "quad"
         cm_tuple = tuple(int(x) for x in s.cost_matrix.reshape(-1))
         kw = dict(
             la_max=bases.shape[1], cm_tuple=cm_tuple,
@@ -417,10 +417,14 @@ class Overlapper:
             else:
                 lead_v = trail_v = ahg_v = bhg_v = np.zeros(0, np.int32)
         with self.timer.stage("emit"):
+            # canonical order via one vectorized lexsort; plain-int lists
+            # (tolist) so record construction avoids 4 np-scalar casts each
+            order = np.lexsort((trail_v, lead_v))
+            cols = [np.asarray(c)[order].tolist()
+                    for c in (lead_v, trail_v, ahg_v, bhg_v)]
             records = [
-                OverlapRecord(id_a=int(a), id_b=int(b), ahg=int(h), bhg=int(g))
-                for a, b, h, g in zip(lead_v, trail_v, ahg_v, bhg_v)
+                OverlapRecord(id_a=a, id_b=b, ahg=h, bhg=g)
+                for a, b, h, g in zip(*cols)
             ]
-            records.sort(key=OverlapRecord.sort_key)
         printdb(self.timer.report())
         return records

@@ -1,9 +1,9 @@
 """Fused Pallas dovetail kernels: traceback folded into the DP fill.
 
-The round-1 kernels (ops/align_pallas.py) emitted a per-cell direction
-code array ([la+1, w+1, P] int32 per phase, ~86 MB per 16k-pair batch)
-and walked it afterwards with a step-locked XLA scan — ~228 *sequential*
-HBM gathers per batch, which dominated end-to-end time (~320 ms per 16k
+The round-1 kernels emitted a per-cell direction code array
+([la+1, w+1, P] int32 per phase, ~86 MB per 16k-pair batch) and walked
+it afterwards with a step-locked XLA scan — ~228 *sequential* HBM
+gathers per batch, which dominated end-to-end time (~320 ms per 16k
 pairs, >70% of it traceback).
 
 These kernels eliminate the traceback entirely.  Observation: cells are
@@ -37,10 +37,12 @@ The running best cell's aux is captured on every strict improvement, so
 the kernel emits per-pair scalars only: no dirs array, no traceback
 pass, ~600x less HBM traffic per batch.
 
-Semantics match ops/align_lax.fast_dovetail_batch (itself validated
-against the oracle, src/BioLibs.scala:373-591) bit for bit, including
+Semantics are validated element-for-element against the NumPy oracle
+(oracle/align.py, replicating src/BioLibs.scala:373-591), including
 strict-> running max in row-major scan order and M -> X -> Y branch
-preference.
+preference.  The row steps are pure functions shared by the Pallas
+kernels (TPU) and a lax.scan formulation (every other backend), so both
+paths are one source of semantics.
 """
 
 from __future__ import annotations
@@ -52,9 +54,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sequence_aligner_tpu.ops.align_pallas import (
-    _band_cummax, _interpret, _max3,
-)
+_NEG = -(2**30)  # python int: jnp scalars become captured consts in kernels
+
+
+def _interpret() -> bool:
+    """Non-TPU backends take the lax.scan formulation of the same row
+    steps (Pallas interpret mode is far slower than compiled scans)."""
+    return jax.default_backend() != "tpu"
+
+
+def _max3(a, b, c):
+    return jnp.maximum(a, jnp.maximum(b, c))
+
+
+def _band_cummax(v, w: int):
+    """Running max along the (sublane) band axis of v [w, P] via
+    log-steps of shift+max (out-of-range contributions = -inf)."""
+    sh = 1
+    while sh < w:
+        shifted = jnp.concatenate(
+            [jnp.full((sh, v.shape[1]), _NEG), v[:-sh]], axis=0
+        )
+        v = jnp.maximum(v, shifted)
+        sh *= 2
+    return v
 
 
 def _branch(mv, xv, yv):
@@ -90,95 +113,94 @@ def _sub_row(a_code, b_codes, cm_tuple, pblk):
     )
 
 
+def _phase1_row(carry, i, a_code, *, b_codes, alen, karr, la_max, w, gO, gE, cm_tuple):
+    """One DP row of the phase-1 banded SW with in-fill stop propagation.
+
+    Pure function of the carried band state — the Pallas kernel runs it
+    under ``fori_loop`` and the CPU path under ``lax.scan``, so both
+    backends share one source of semantics."""
+    mp, xp, yp, sp, best, bi, bj, fst = carry
+    pblk = a_code.shape[0]
+    cols = w + 1
+    sub = _sub_row(a_code, b_codes, cm_tuple, pblk)
+    zrow1 = jnp.zeros((1, pblk), jnp.int32)
+    m_new = jnp.concatenate(
+        [zrow1, sub + _max3(mp[:-1], yp[:-1], jnp.maximum(xp[:-1], 0))],
+        axis=0,
+    )
+    y_new = jnp.concatenate(
+        [zrow1, gE + _max3(mp[1:] + gO, yp[1:], jnp.maximum(xp[1:] + gO, 0))],
+        axis=0,
+    )
+    c = _max3(m_new[:-1] + gO, y_new[:-1] + gO, jnp.zeros((w, pblk), jnp.int32))
+    k1 = jax.lax.broadcasted_iota(jnp.int32, (w, pblk), 0) + 1
+    run = _band_cummax(c - k1 * gE, w)
+    x_new = jnp.concatenate([zrow1, (k1 + 1) * gE + run], axis=0)
+
+    br, mx = _branch(m_new, x_new, y_new)
+    cont_i = (_max3(mp, xp, yp) > 0).astype(jnp.int32)  # row i-1 live
+
+    # M branch: pred = (i-1, k-1); Y branch: pred = (i-1, k)
+    # (int32 shift, not bool concat — Mosaic rejects i1 vector selects)
+    pm_cont = jnp.concatenate([zrow1, cont_i[:-1]], 0)
+    pm_st = jnp.concatenate([zrow1, sp[:-1]], 0)
+    im1 = (i - 1) << 16
+    pm_cell = (karr - 1) & 0xFFFF
+    selM = jnp.where(pm_cont == 1, pm_st, im1 | pm_cell)
+    selY = jnp.where(cont_i == 1, sp, im1 | karr)
+    s0 = jnp.where(br == 0, selM, selY)
+
+    # X branch: pred = (i, k-1) — in-row ascending-k chain (static w)
+    rows = [s0[k] for k in range(cols)]
+    i16 = i << 16
+    for k in range(1, cols):
+        is_x = br[k] == 1
+        left_cont = mx[k - 1] > 0
+        px = jnp.where(left_cont, rows[k - 1], i16 | (k - 1))
+        rows[k] = jnp.where(is_x, px, rows[k])
+    s_new = jnp.stack(rows)
+
+    # running max: strict > in row-major scan order, first col wins
+    row_t = mx[1:]
+    rb = jnp.max(row_t, axis=0)
+    kia = jax.lax.broadcasted_iota(jnp.int32, row_t.shape, 0)
+    jb = jnp.min(jnp.where(row_t == rb[None, :], kia, la_max + w + 2), axis=0) + 1
+    sel = karr == jb[None, :]
+    cap = jnp.max(jnp.where(sel, s_new, 0), axis=0)
+    upd = (i <= alen) & (rb > best)
+    best = jnp.where(upd, rb, best)
+    bi = jnp.where(upd, i, bi)
+    bj = jnp.where(upd, jb, bj)
+    fst = jnp.where(upd, cap, fst)
+    return m_new, x_new, y_new, s_new, best, bi, bj, fst
+
+
+def _phase1_init(cols, pblk):
+    zero = jnp.zeros((cols, pblk), jnp.int32)
+    z = jnp.zeros((pblk,), jnp.int32)
+    return zero, zero, zero, zero, z, z, z, z
+
+
 def _phase1_fused_kernel(
     a_ref, b_ref, alen_ref,
     best_ref, bi_ref, bj_ref, fi_ref, fj_ref,
-    mp, xp, yp, st_p,
     *, la_max: int, w: int, gO: int, gE: int, cm_tuple,
 ):
-    """Banded SW of A vs B[0:w] with in-fill stop propagation.
-
-    Emits per pair: running best, its cell (bi, bj), and the backtrack
-    stop cell (fi, fj) — fj == 0 is the dovetail anchor condition
-    (src/BioLibs.scala:443-466).  st_p packs the stop coords (i<<16 | j).
-    """
     pblk = a_ref.shape[1]
     cols = w + 1
-    zero = jnp.zeros((cols, pblk), jnp.int32)
-    mp[:] = zero
-    xp[:] = zero
-    yp[:] = zero
-    st_p[:] = zero
-    b_codes = b_ref[0:w, :]  # [w, P]
+    b_codes = b_ref[0:w, :]
     alen = alen_ref[0, :]
     karr = jax.lax.broadcasted_iota(jnp.int32, (cols, pblk), 0)
-    # packed coords of the pred cell itself, for chains that stop there
-    pm_cell = ((karr - 1) & 0xFFFF)[:, :]  # j part of (i-1, k-1); i added per row
-    py_cell = karr
 
     def body(i, carry):
-        best, bi, bj, fst = carry
-        a_code = a_ref[i - 1, :]
-        sub = _sub_row(a_code, b_codes, cm_tuple, pblk)
-        m_p, x_p, y_p = mp[:], xp[:], yp[:]
-        zrow1 = jnp.zeros((1, pblk), jnp.int32)
-        m_new = jnp.concatenate(
-            [zrow1, sub + _max3(m_p[:-1], y_p[:-1], jnp.maximum(x_p[:-1], 0))],
-            axis=0,
+        return _phase1_row(
+            carry, i, a_ref[i - 1, :], b_codes=b_codes, alen=alen,
+            karr=karr, la_max=la_max, w=w, gO=gO, gE=gE, cm_tuple=cm_tuple,
         )
-        y_new = jnp.concatenate(
-            [zrow1, gE + _max3(m_p[1:] + gO, y_p[1:], jnp.maximum(x_p[1:] + gO, 0))],
-            axis=0,
-        )
-        c = _max3(m_new[:-1] + gO, y_new[:-1] + gO, jnp.zeros((w, pblk), jnp.int32))
-        k1 = jax.lax.broadcasted_iota(jnp.int32, (w, pblk), 0) + 1
-        run = _band_cummax(c - k1 * gE, w)
-        x_new = jnp.concatenate([zrow1, (k1 + 1) * gE + run], axis=0)
 
-        br, mx = _branch(m_new, x_new, y_new)
-        cont_i = (_max3(m_p, x_p, y_p) > 0).astype(jnp.int32)  # row i-1 live
-        sp = st_p[:]
-
-        # M branch: pred = (i-1, k-1); Y branch: pred = (i-1, k)
-        # (int32 shift, not bool concat — Mosaic rejects i1 vector selects)
-        pm_cont = jnp.concatenate([zrow1, cont_i[:-1]], 0)
-        pm_st = jnp.concatenate([zrow1, sp[:-1]], 0)
-        im1 = (i - 1) << 16
-        selM = jnp.where(pm_cont == 1, pm_st, im1 | pm_cell)
-        selY = jnp.where(cont_i == 1, sp, im1 | py_cell)
-        s0 = jnp.where(br == 0, selM, selY)
-
-        # X branch: pred = (i, k-1) — in-row ascending-k chain (static w)
-        rows = [s0[k] for k in range(cols)]
-        i16 = i << 16
-        for k in range(1, cols):
-            is_x = br[k] == 1
-            left_cont = mx[k - 1] > 0
-            px = jnp.where(left_cont, rows[k - 1], i16 | (k - 1))
-            rows[k] = jnp.where(is_x, px, rows[k])
-        s_new = jnp.stack(rows)
-
-        # running max: strict > in row-major scan order, first col wins
-        row_t = mx[1:]
-        rb = jnp.max(row_t, axis=0)
-        kia = jax.lax.broadcasted_iota(jnp.int32, row_t.shape, 0)
-        jb = jnp.min(jnp.where(row_t == rb[None, :], kia, la_max + w + 2), axis=0) + 1
-        sel = karr == jb[None, :]
-        cap = jnp.max(jnp.where(sel, s_new, 0), axis=0)
-        upd = (i <= alen) & (rb > best)
-        best = jnp.where(upd, rb, best)
-        bi = jnp.where(upd, i, bi)
-        bj = jnp.where(upd, jb, bj)
-        fst = jnp.where(upd, cap, fst)
-
-        mp[:] = m_new
-        xp[:] = x_new
-        yp[:] = y_new
-        st_p[:] = s_new
-        return best, bi, bj, fst
-
-    z = jnp.zeros((pblk,), jnp.int32)
-    best, bi, bj, fst = jax.lax.fori_loop(1, la_max + 1, body, (z, z, z, z))
+    *_, best, bi, bj, fst = jax.lax.fori_loop(
+        1, la_max + 1, body, _phase1_init(cols, pblk)
+    )
     best_ref[0, :] = best
     bi_ref[0, :] = bi
     bj_ref[0, :] = bj
@@ -186,111 +208,129 @@ def _phase1_fused_kernel(
     fj_ref[0, :] = fst & 0xFFFF
 
 
+def _phase1_fused_scan(a_t, b_t, a_len, *, la_max, w, gO, gE, cm_tuple):
+    """CPU/backstop path: the same row step under lax.scan (no Pallas)."""
+    p = a_t.shape[1]
+    cols = w + 1
+    b_codes = b_t[0:w, :]
+    karr = jax.lax.broadcasted_iota(jnp.int32, (cols, p), 0)
+
+    def step(carry, xs):
+        i, a_code = xs
+        return _phase1_row(
+            carry, i, a_code, b_codes=b_codes, alen=a_len, karr=karr,
+            la_max=la_max, w=w, gO=gO, gE=gE, cm_tuple=cm_tuple,
+        ), None
+
+    (*_, best, bi, bj, fst), _ = jax.lax.scan(
+        step, _phase1_init(cols, p),
+        (jnp.arange(1, la_max + 1, dtype=jnp.int32), a_t[:la_max]),
+    )
+    return best, bi, bj, fst >> 16, fst & 0xFFFF
+
+
+def _phase2_row(
+    carry, u, a_code, nxt_row, *, dlen, blen, karr, la_max, w, zero_row,
+    gO, gE, cm_tuple,
+):
+    """One DP row of the rotated-band phase 2 with in-fill stop +
+    match/error propagation (st packs u<<16|k, ct packs correct<<16|error).
+    The band window of B is carried and slid one row per step."""
+    mp, xp, yp, sp, cp, best, bu, bk, fst, fct, b_codes = carry
+    pblk = a_code.shape[0]
+    cols = w + 1
+    sub = _sub_row(a_code, b_codes, cm_tuple, pblk)
+    eq = a_code[None, :] == b_codes
+    j = karr - zero_row + u
+    inb = (u <= dlen)[None, :] & (j >= 1) & (j <= blen[None, :])
+    m_new = jnp.where(inb, sub + _max3(mp, yp, jnp.maximum(xp, 0)), 0)
+    zrow1 = jnp.zeros((1, pblk), jnp.int32)
+    shift = lambda r: jnp.concatenate([r[1:], zrow1], axis=0)
+    y_new = jnp.where(
+        inb & (karr != w),
+        gE + _max3(shift(mp) + gO, shift(yp), jnp.maximum(shift(xp) + gO, 0)),
+        0,
+    )
+    c = _max3(m_new[:-1] + gO, y_new[:-1] + gO, jnp.zeros((w, pblk), jnp.int32))
+    k1 = jax.lax.broadcasted_iota(jnp.int32, (w, pblk), 0) + 1
+    run = _band_cummax(jnp.where(inb[1:], c - k1 * gE, -(2**30)), w)
+    x_band = (k1 + 1) * gE + run
+    x_new = jnp.concatenate([zrow1, x_band], axis=0)
+    x_new = jnp.where(inb & (karr != 0), x_new, 0)
+
+    br, mx = _branch(m_new, x_new, y_new)
+    # int32 masks throughout: Mosaic rejects selects producing i1 vectors
+    cont_i = (_max3(mp, xp, yp) > 0).astype(jnp.int32)
+    is_m = br == 0
+
+    # M branch: pred = (u-1, k); Y branch: pred = (u-1, k+1)
+    sel_cont = jnp.where(is_m, cont_i, shift(cont_i)) == 1
+    um1 = (u - 1) << 16
+    sel_st = jnp.where(is_m, sp, shift(sp))
+    sel_cell = jnp.where(is_m, um1 | karr, um1 | (karr + 1))
+    sel_ct = jnp.where(is_m, cp, shift(cp))
+    dctr = jnp.where(is_m & eq, 1 << 16, 1)  # match or error, packed
+    s0 = jnp.where(sel_cont, sel_st, sel_cell)
+    c0 = jnp.where(sel_cont, sel_ct, 0) + dctr
+
+    # X branch: pred = (u, k-1) — in-row ascending-k chain
+    rows_s = [s0[k] for k in range(cols)]
+    rows_c = [c0[k] for k in range(cols)]
+    u16 = u << 16
+    for k in range(1, cols):
+        is_x = br[k] == 1
+        left_cont = mx[k - 1] > 0
+        px_s = jnp.where(left_cont, rows_s[k - 1], u16 | (k - 1))
+        px_c = jnp.where(left_cont, rows_c[k - 1], 0) + 1
+        rows_s[k] = jnp.where(is_x, px_s, rows_s[k])
+        rows_c[k] = jnp.where(is_x, px_c, rows_c[k])
+    s_new = jnp.stack(rows_s)
+    c_new = jnp.stack(rows_c)
+
+    rb = jnp.max(mx, axis=0)
+    kb = jnp.min(jnp.where(mx == rb[None, :], karr, la_max + w + 2), axis=0)
+    sel = karr == kb[None, :]
+    upd = rb > best
+    best = jnp.where(upd, rb, best)
+    bu = jnp.where(upd, u, bu)
+    bk = jnp.where(upd, kb, bk)
+    fst = jnp.where(upd, jnp.max(jnp.where(sel, s_new, 0), axis=0), fst)
+    fct = jnp.where(upd, jnp.max(jnp.where(sel, c_new, 0), axis=0), fct)
+
+    # slide the band window down one row of b_pad
+    b_next = jnp.concatenate([b_codes[1:], nxt_row[None, :]], axis=0)
+    return m_new, x_new, y_new, s_new, c_new, best, bu, bk, fst, fct, b_next
+
+
+def _phase2_init(cols, pblk, b0):
+    zero = jnp.zeros((cols, pblk), jnp.int32)
+    z = jnp.zeros((pblk,), jnp.int32)
+    return zero, zero, zero, zero, zero, z, z, z, z, z, b0
+
+
 def _phase2_fused_kernel(
     a_ref, bpad_ref, dlen_ref, blen_ref,
     best_ref, bu_ref, bk_ref, uf_ref, kf_ref, c_ref, e_ref,
-    mp, xp, yp, st_p, ct_p,
     *, la_max: int, w: int, zero_row: int, gO: int, gE: int, cm_tuple,
 ):
-    """Rotated band DP with in-fill stop + match/error propagation.
-
-    a_ref is the dove-shifted A (row u-1 holds A[u + dove_start - 1]);
-    bpad_ref holds B padded so that row (u + k) is B[k - zero_row + u - 1]
-    — the per-row band window is carried and shifted by one row per step,
-    so no [la, w, P] window materialization.  st_p packs stop coords
-    (u << 16 | k), ct_p packs counts (correct << 16 | error).
-    """
     pblk = a_ref.shape[1]
     cols = w + 1
-    zero = jnp.zeros((cols, pblk), jnp.int32)
-    mp[:] = zero
-    xp[:] = zero
-    yp[:] = zero
-    st_p[:] = zero
-    ct_p[:] = zero
     dlen = dlen_ref[0, :]
     blen = blen_ref[0, :]
     karr = jax.lax.broadcasted_iota(jnp.int32, (cols, pblk), 0)
     npad = bpad_ref.shape[0]
-
     b0 = bpad_ref[1 : cols + 1, :]  # band window for u = 1
 
     def body(u, carry):
-        best, bu, bk, fst, fct, b_codes = carry
-        a_code = a_ref[u - 1, :]
-        sub = _sub_row(a_code, b_codes, cm_tuple, pblk)
-        eq = a_code[None, :] == b_codes
-        j = karr - zero_row + u
-        inb = (u <= dlen)[None, :] & (j >= 1) & (j <= blen[None, :])
-        m_p, x_p, y_p = mp[:], xp[:], yp[:]
-        m_new = jnp.where(inb, sub + _max3(m_p, y_p, jnp.maximum(x_p, 0)), 0)
-        zrow1 = jnp.zeros((1, pblk), jnp.int32)
-        shift = lambda r: jnp.concatenate([r[1:], zrow1], axis=0)
-        y_new = jnp.where(
-            inb & (karr != w),
-            gE + _max3(shift(m_p) + gO, shift(y_p), jnp.maximum(shift(x_p) + gO, 0)),
-            0,
-        )
-        c = _max3(m_new[:-1] + gO, y_new[:-1] + gO, jnp.zeros((w, pblk), jnp.int32))
-        k1 = jax.lax.broadcasted_iota(jnp.int32, (w, pblk), 0) + 1
-        run = _band_cummax(jnp.where(inb[1:], c - k1 * gE, -(2**30)), w)
-        x_band = (k1 + 1) * gE + run
-        x_new = jnp.concatenate([zrow1, x_band], axis=0)
-        x_new = jnp.where(inb & (karr != 0), x_new, 0)
-
-        br, mx = _branch(m_new, x_new, y_new)
-        # int32 masks throughout: Mosaic rejects selects producing i1 vectors
-        cont_i = (_max3(m_p, x_p, y_p) > 0).astype(jnp.int32)
-        is_m = br == 0
-
-        # M branch: pred = (u-1, k); Y branch: pred = (u-1, k+1)
-        sp, cp = st_p[:], ct_p[:]
-        sel_cont = jnp.where(is_m, cont_i, shift(cont_i)) == 1
-        um1 = (u - 1) << 16
-        sel_st = jnp.where(is_m, sp, shift(sp))
-        sel_cell = jnp.where(is_m, um1 | karr, um1 | (karr + 1))
-        sel_ct = jnp.where(is_m, cp, shift(cp))
-        dctr = jnp.where(is_m & eq, 1 << 16, 1)  # match or error, packed
-        s0 = jnp.where(sel_cont, sel_st, sel_cell)
-        c0 = jnp.where(sel_cont, sel_ct, 0) + dctr
-
-        # X branch: pred = (u, k-1) — in-row ascending-k chain
-        rows_s = [s0[k] for k in range(cols)]
-        rows_c = [c0[k] for k in range(cols)]
-        u16 = u << 16
-        for k in range(1, cols):
-            is_x = br[k] == 1
-            left_cont = mx[k - 1] > 0
-            px_s = jnp.where(left_cont, rows_s[k - 1], u16 | (k - 1))
-            px_c = jnp.where(left_cont, rows_c[k - 1], 0) + 1
-            rows_s[k] = jnp.where(is_x, px_s, rows_s[k])
-            rows_c[k] = jnp.where(is_x, px_c, rows_c[k])
-        s_new = jnp.stack(rows_s)
-        c_new = jnp.stack(rows_c)
-
-        rb = jnp.max(mx, axis=0)
-        kb = jnp.min(jnp.where(mx == rb[None, :], karr, la_max + w + 2), axis=0)
-        sel = karr == kb[None, :]
-        upd = rb > best
-        best = jnp.where(upd, rb, best)
-        bu = jnp.where(upd, u, bu)
-        bk = jnp.where(upd, kb, bk)
-        fst = jnp.where(upd, jnp.max(jnp.where(sel, s_new, 0), axis=0), fst)
-        fct = jnp.where(upd, jnp.max(jnp.where(sel, c_new, 0), axis=0), fct)
-
-        mp[:] = m_new
-        xp[:] = x_new
-        yp[:] = y_new
-        st_p[:] = s_new
-        ct_p[:] = c_new
-        # slide the band window down one row of b_pad
         nxt = bpad_ref[jnp.minimum(u + cols, npad - 1), :]
-        b_next = jnp.concatenate([b_codes[1:], nxt[None, :]], axis=0)
-        return best, bu, bk, fst, fct, b_next
+        return _phase2_row(
+            carry, u, a_ref[u - 1, :], nxt, dlen=dlen, blen=blen, karr=karr,
+            la_max=la_max, w=w, zero_row=zero_row, gO=gO, gE=gE,
+            cm_tuple=cm_tuple,
+        )
 
-    z = jnp.zeros((pblk,), jnp.int32)
-    best, bu, bk, fst, fct, _ = jax.lax.fori_loop(
-        1, la_max + 1, body, (z, z, z, z, z, b0)
+    *_, best, bu, bk, fst, fct, _b = jax.lax.fori_loop(
+        1, la_max + 1, body, _phase2_init(cols, pblk, b0)
     )
     best_ref[0, :] = best
     bu_ref[0, :] = bu
@@ -299,6 +339,36 @@ def _phase2_fused_kernel(
     kf_ref[0, :] = fst & 0xFFFF
     c_ref[0, :] = fct >> 16
     e_ref[0, :] = fct & 0xFFFF
+
+
+def _phase2_fused_scan(
+    a_shift, b_pad, dove_len, b_len, *, la_max, w, zero_row, gO, gE, cm_tuple
+):
+    p = a_shift.shape[1]
+    cols = w + 1
+    karr = jax.lax.broadcasted_iota(jnp.int32, (cols, p), 0)
+    npad = b_pad.shape[0]
+    b0 = b_pad[1 : cols + 1, :]
+    # next window rows for u = 1..la_max: b_pad[min(u + cols, npad - 1)]
+    tail = jnp.broadcast_to(
+        b_pad[npad - 1][None, :], (max(la_max + 1 + cols - npad, 0), p)
+    )
+    nxt_rows = jnp.concatenate([b_pad[cols + 1 :], tail], axis=0)[:la_max]
+
+    def step(carry, xs):
+        u, a_code, nxt = xs
+        return _phase2_row(
+            carry, u, a_code, nxt, dlen=dove_len, blen=b_len, karr=karr,
+            la_max=la_max, w=w, zero_row=zero_row, gO=gO, gE=gE,
+            cm_tuple=cm_tuple,
+        ), None
+
+    (*_, best, bu, bk, fst, fct, _b), _ = jax.lax.scan(
+        step, _phase2_init(cols, p, b0),
+        (jnp.arange(1, la_max + 1, dtype=jnp.int32), a_shift[:la_max],
+         nxt_rows),
+    )
+    return best, bu, bk, fst >> 16, fst & 0xFFFF, fct >> 16, fct & 0xFFFF
 
 
 def _vec_spec(pblk):
@@ -313,8 +383,12 @@ def _vec_shape(p):
     jax.jit, static_argnames=("la_max", "w", "gO", "gE", "cm_tuple", "pblk")
 )
 def phase1_fused(a_t, b_t, a_len, *, la_max, w, gO, gE, cm_tuple, pblk=256):
+    if _interpret():  # non-TPU backends: same row step under lax.scan
+        return _phase1_fused_scan(
+            a_t, b_t, a_len, la_max=la_max, w=w, gO=gO, gE=gE,
+            cm_tuple=cm_tuple,
+        )
     p = a_t.shape[1]
-    cols = w + 1
     kernel = functools.partial(
         _phase1_fused_kernel, la_max=la_max, w=w, gO=gO, gE=gE,
         cm_tuple=cm_tuple,
@@ -329,8 +403,6 @@ def phase1_fused(a_t, b_t, a_len, *, la_max, w, gO, gE, cm_tuple, pblk=256):
         ],
         out_specs=[_vec_spec(pblk)] * 5,
         out_shape=[_vec_shape(p)] * 5,
-        scratch_shapes=[pltpu.VMEM((cols, pblk), jnp.int32)] * 4,
-        interpret=_interpret(),
     )(a_t, b_t, a_len[None, :])
     return tuple(o[0] for o in outs)
 
@@ -343,8 +415,12 @@ def phase2_fused(
     a_shift, b_pad, dove_len, b_len, *,
     la_max, w, zero_row, gO, gE, cm_tuple, pblk=256,
 ):
+    if _interpret():
+        return _phase2_fused_scan(
+            a_shift, b_pad, dove_len, b_len, la_max=la_max, w=w,
+            zero_row=zero_row, gO=gO, gE=gE, cm_tuple=cm_tuple,
+        )
     p = a_shift.shape[1]
-    cols = w + 1
     kernel = functools.partial(
         _phase2_fused_kernel, la_max=la_max, w=w, zero_row=zero_row,
         gO=gO, gE=gE, cm_tuple=cm_tuple,
@@ -360,8 +436,6 @@ def phase2_fused(
         ],
         out_specs=[_vec_spec(pblk)] * 7,
         out_shape=[_vec_shape(p)] * 7,
-        scratch_shapes=[pltpu.VMEM((cols, pblk), jnp.int32)] * 5,
-        interpret=_interpret(),
     )(a_shift, b_pad, dove_len[None, :], b_len[None, :])
     return tuple(o[0] for o in outs)
 
@@ -498,7 +572,8 @@ def fast_dovetail_batch_fused(
 ):
     """Two-phase banded dovetail alignment, fully fused (no traceback).
 
-    Drop-in equivalent of ops.align_lax.fast_dovetail_batch — same
+    The production banded-dovetail aligner (replaced the direction-code
+    + step-locked-traceback formulation) — same
     outputs, same reference semantics (src/BioLibs.scala:373-591,
     validity src/ObjectStore.scala:102-141)."""
     p = a_bases.shape[0]

@@ -1,14 +1,14 @@
 """Batched affine-gap DP aligners as XLA scan programs.
 
-Re-expresses the reference's per-pair aligners as row-wavefront scans
-batched over thousands of read pairs:
+Hosts the quadratic path and shared plumbing:
 
-  * ``fast_dovetail_batch`` — the two-phase banded dovetail aligner
-    (src/BioLibs.scala:373-591): phase-1 banded SW anchor, dud rule,
-    phase-2 rotated-coordinate band DP, value-based traceback with
-    M -> X -> Y branch preference, and the validity/hang predicates of
-    src/ObjectStore.scala:102-141.
-  * ``local_align_batch`` — full Smith-Waterman (src/BioLibs.scala:171-263).
+  * ``local_align_batch`` — full Smith-Waterman (src/BioLibs.scala:171-263)
+    with value-based traceback (M -> X -> Y branch preference) and the
+    validity/hang predicates of src/ObjectStore.scala:102-141;
+  * ``OUT_KEYS`` / ``stack_result`` — the stacked result contract shared
+    with the fused banded-dovetail kernels (ops/align_fused.py, which
+    replaced the direction-code + step-locked-traceback dovetail that
+    used to live here).
 
 TPU-first design notes:
   - DP state is laid out [band, batch] so the 128-lane vector dimension is
@@ -198,23 +198,6 @@ def _traceback(
     return i, j, c, e, n
 
 
-@partial(jax.jit, static_argnames=("la_max", "lb_max", "width"))
-def fast_dovetail_batch_idx(
-    bases, lengths, a_idx, b_idx, *,
-    cm, gO, gE, min_identity, min_overlap, max_ignore,
-    la_max: int, lb_max: int, width: int,
-):
-    """Device-resident variant of ``fast_dovetail_batch``: per-pair
-    operands are row-gathered on device from pair-index vectors; returns
-    the OUT_KEYS-stacked [10, P] int32 result (one fetch per batch)."""
-    return stack_result(fast_dovetail_batch(
-        bases[a_idx], lengths[a_idx], bases[b_idx], lengths[b_idx],
-        cm=cm, gO=gO, gE=gE, min_identity=min_identity,
-        min_overlap=min_overlap, max_ignore=max_ignore,
-        la_max=la_max, lb_max=lb_max, width=width,
-    ))
-
-
 @partial(jax.jit, static_argnames=("la_max", "lb_max"))
 def local_align_batch_idx(
     bases, lengths, a_idx, b_idx, *,
@@ -228,136 +211,6 @@ def local_align_batch_idx(
         min_overlap=min_overlap, max_ignore=max_ignore,
         la_max=la_max, lb_max=lb_max,
     ))
-
-
-@partial(jax.jit, static_argnames=("la_max", "lb_max", "width"))
-def fast_dovetail_batch(
-    a_bases, a_len, b_bases, b_len, *,
-    cm, gO, gE, min_identity, min_overlap, max_ignore,
-    la_max: int, lb_max: int, width: int,
-):
-    """Batched two-phase banded dovetail alignment.
-
-    a_bases [P, la_max] int8 (lead reads), b_bases [P, lb_max] int8
-    (trailing reads), lengths int32.  width is the bucket's static band
-    width (settings.band_width of the lead length class).
-
-    Returns per-pair dict: start_i/j, end_i/j, correct, error, align_len,
-    dud, valid, align_valid, ahg, bhg.
-    """
-    p = a_bases.shape[0]
-    w = width
-    cm_flat = cm.astype(jnp.int32).reshape(-1)
-    gO = jnp.int32(gO)
-    gE = jnp.int32(gE)
-    a_t = a_bases.astype(jnp.int32).T  # [la_max, P]
-    b_t = b_bases.astype(jnp.int32).T
-
-    dud_short = b_len < w  # reference would index past B (BioLibs.scala:418)
-
-    # ---- phase 1: banded SW anchor (band always fully inside B) ----
-    dirs1, best1, bi, bj = _phase1_fill(
-        a_t, b_t, a_len, jnp.full((p,), w, jnp.int32), cm_flat, gO, gE,
-        la_max, w,
-    )
-    act1 = (best1 > 0) & ~dud_short
-    fi, fj, _, _, _ = _traceback(
-        dirs1, w + 1, bi, bj, act1, la_max + w + 2,
-        moves={0: (-1, -1), 1: (0, -1), 2: (-1, 0)},
-    )
-    dud = ~act1 | (fj != 0)
-    dove_start = fi
-    dove_len = a_len - dove_start
-    zero_row = w // 2
-
-    # ---- phase 2: rotated band DP ----
-    zrow = jnp.zeros((w + 1, p), jnp.int32)
-    ks = jnp.arange(w + 1, dtype=jnp.int32)[:, None]  # [w+1, 1]
-
-    def step2(carry, u):
-        mp, xp, yp, best, bu, bk = carry
-        i = u + dove_start  # [P]
-        j = ks - zero_row + u  # [w+1, 1] — same for all pairs
-        jb = jnp.broadcast_to(j, (w + 1, p))
-        inb = (u <= dove_len)[None, :] & (jb >= 1) & (jb <= b_len[None, :])
-        a_code = _flat_gather(a_t, jnp.clip(i - 1, 0, la_max - 1))
-        b_code = jnp.take(b_t, jnp.clip(j[:, 0] - 1, 0, lb_max - 1), axis=0)
-        sub = cm_flat[a_code[None, :] * 4 + b_code]  # [w+1, P]
-        m_new = jnp.where(inb, sub + _max3(mp, yp, jnp.maximum(xp, 0)), 0)
-        shift = lambda r: jnp.concatenate(
-            [r[1:], jnp.zeros((1, p), jnp.int32)], axis=0
-        )
-        y_new = jnp.where(
-            inb & (ks != w),
-            gE + _max3(shift(mp) + gO, shift(yp), jnp.maximum(shift(xp) + gO, 0)),
-            0,
-        )
-        c = _max3(m_new[:-1] + gO, y_new[:-1] + gO, jnp.zeros((w, p), jnp.int32))
-        x_band = _row_x(c, gE, inb=inb[1:])
-        x_new = jnp.concatenate([jnp.zeros((1, p), jnp.int32), x_band], axis=0)
-        x_new = jnp.where(inb & (ks != 0), x_new, 0)
-        dirs = _dir_code(m_new, x_new, y_new)
-        row_t = _max3(m_new, x_new, y_new)
-        rb = jnp.max(row_t, axis=0)
-        kb = jnp.argmax(row_t == rb[None, :], axis=0).astype(jnp.int32)
-        upd = rb > best
-        best = jnp.where(upd, rb, best)
-        bu = jnp.where(upd, u, bu)
-        bk = jnp.where(upd, kb, bk)
-        return (m_new, x_new, y_new, best, bu, bk), dirs
-
-    init2 = (
-        zrow, zrow, zrow,
-        jnp.zeros((p,), jnp.int32), jnp.zeros((p,), jnp.int32),
-        jnp.zeros((p,), jnp.int32),
-    )
-    (m2f, x2f, y2f, best2, bu, bk), dir_rows2 = jax.lax.scan(
-        step2, init2, jnp.arange(1, la_max + 1, dtype=jnp.int32), unroll=8
-    )
-    dirs2 = jnp.concatenate(
-        [jnp.zeros((1, w + 1, p), jnp.int32), dir_rows2], axis=0
-    ).reshape((la_max + 1) * (w + 1), p)
-
-    # ---- phase 2 traceback with match/error counting ----
-    act2 = (best2 > 0) & ~dud
-
-    def count(u, k):
-        i = u + dove_start
-        j = k - zero_row + u
-        pa = _row_gather(a_bases, jnp.clip(i - 1, 0, la_max - 1))
-        pb = _row_gather(b_bases, jnp.clip(j - 1, 0, lb_max - 1))
-        return None, None, pa == pb
-
-    uf, kf, corr, err, steps = _traceback(
-        dirs2, w + 1, bu, bk, act2, la_max + w + 2,
-        moves={0: (-1, 0), 1: (0, -1), 2: (-1, 1)},
-        count=count,
-    )
-
-    dud_all = dud | (best2 <= 0)
-    start_i = uf + dove_start
-    start_j = kf - zero_row + uf
-    end_i = bu + dove_start
-    end_j = bk - zero_row + bu
-
-    # ---- validity (src/ObjectStore.scala:102-107, 137-141) ----
-    tot = (corr + err).astype(jnp.float32)
-    err_ratio = corr.astype(jnp.float32) / tot
-    ident_ok = err_ratio >= min_identity
-    len_ok = steps >= min_overlap
-    dovetail = ((start_i == 0) & (b_len == end_j)) | (
-        (start_j == 0) & (a_len == end_i)
-    )
-    ahg = start_i - start_j
-    bhg = b_len - a_len + ahg
-    hang_ok = (jnp.abs(ahg) < max_ignore) & (jnp.abs(bhg) < max_ignore)
-    valid = ~dud_all & (tot > 0) & ident_ok & len_ok & dovetail & hang_ok
-    return dict(
-        start_i=start_i, start_j=start_j, end_i=end_i, end_j=end_j,
-        correct=corr, error=err, align_len=steps, dud=dud_all,
-        valid=valid, ahg=ahg, bhg=bhg,
-        align_valid=~dud_all & (tot > 0) & ident_ok & len_ok & dovetail,
-    )
 
 
 @partial(jax.jit, static_argnames=("la_max", "lb_max"))

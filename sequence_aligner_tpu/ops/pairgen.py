@@ -99,9 +99,22 @@ def _run_bounds(h):
     return seg_l, seg_r
 
 
-def expand_raw_pairs(occ_sorted, geom, cap_head: int, cap_tail: int):
+_POS_BITS = 12  # packed (rid << 12 | pos) for the uniform-length fast path
+
+
+def expand_raw_pairs(
+    occ_sorted, geom, cap_head: int, cap_tail: int, pack_den: int = 0
+):
     """Hash-sorted occurrence table -> flat ordered-pair table (fst, snd,
-    ok) of static size cap_head + cap_tail, pre-counting."""
+    ok) of static size cap_head + cap_tail, pre-counting.
+
+    pack_den > 0 enables the uniform-read-length fast path: all locs share
+    the denominator ``pack_den = len - k``, so the lead rule's float32 loc
+    comparison is equivalent to comparing integer positions (float32
+    division by a common D < 2^23 is monotone and collision-free), and
+    (read id, position) pack into ONE int32 — the expansion then costs 3
+    random gathers per stream slot instead of 6 (gathers are the dominant
+    cost: ~113M random gathers/s on v5e)."""
     h = occ_sorted["hash"]
     rid = occ_sorted["read_id"]
     loc = occ_sorted["loc"]
@@ -111,6 +124,12 @@ def expand_raw_pairs(occ_sorted, geom, cap_head: int, cap_tail: int):
     is_head = valid & (loc <= geom["head_edge"])
     is_mid = valid & (geom["mid_lead"] <= loc) & (loc <= geom["mid_tail"])
     is_tail = valid & (loc >= geom["tail_edge"])
+
+    if pack_den:
+        # exact position recovery: loc = round_f32(pos / D), and
+        # round(loc * D) == pos for D < 2^23
+        posn = jnp.round(loc * jnp.float32(pack_den)).astype(jnp.int32)
+        packed = (rid << _POS_BITS) | jnp.clip(posn, 0, (1 << _POS_BITS) - 1)
 
     # middle-class rank -> table row
     mid_rows, mid_prefix, mid_total = _compact_indices(is_mid)
@@ -135,21 +154,34 @@ def expand_raw_pairs(occ_sorted, geom, cap_head: int, cap_tail: int):
             jnp.arange(n, dtype=jnp.int32)
         )
         ei = jax.lax.cummax(mark[:cap])
-        # run-start position (= excl[ei]) by the same fill — no gather
-        run_start = jax.lax.cummax(
-            jnp.full((cap + 1,), 0, jnp.int32).at[pos].max(
-                jnp.where(pos < cap, pos, 0)
-            )[:cap]
-        )
-        off = t - run_start
-        mrank = mid_base[ei] + off
+
+        def fill(vals):
+            """Segment-broadcast of a per-row NONDECREASING value to the
+            stream via the same scatter + cummax (no gather)."""
+            return jax.lax.cummax(
+                jnp.full((cap + 1,), 0, jnp.int32).at[pos].max(
+                    jnp.where(pos < cap, vals, 0)
+                )[:cap]
+            )
+
+        run_start = fill(pos)  # = excl[ei]
+        mrank = fill(mid_base) + (t - run_start)  # mid_base is monotone
         mrow = mid_rows[jnp.clip(mrank, 0, max(mid_rows.shape[0] - 1, 0))]
         # every slot's source row has npairs > 0, hence is an edge row
         ok = t < total
-        a_id, a_loc = rid[ei], loc[ei]
-        b_id, b_loc = rid[mrow], loc[mrow]
+        if pack_den:
+            a_pk = packed[ei]
+            b_pk = packed[mrow]
+            a_id = a_pk >> _POS_BITS
+            b_id = b_pk >> _POS_BITS
+            a_first = (a_pk & ((1 << _POS_BITS) - 1)) > (
+                b_pk & ((1 << _POS_BITS) - 1)
+            )
+        else:
+            a_id, a_loc = rid[ei], loc[ei]
+            b_id, b_loc = rid[mrow], loc[mrow]
+            a_first = a_loc > b_loc  # strict-greater loc leads (:65-71)
         ok &= a_id != b_id  # self pairs skipped (src/KmerTable.scala:61-63)
-        a_first = a_loc > b_loc  # strict-greater loc leads (:65-71)
         fst = jnp.where(a_first, a_id, b_id)
         snd = jnp.where(a_first, b_id, a_id)
         return fst, snd, ok, total
@@ -241,6 +273,7 @@ def plan_totals_device(occ_sorted, head_edge, tail_edge, mid_lead, mid_tail):
     jax.jit,
     static_argnames=(
         "cap_head", "cap_tail", "cap_out", "presorted", "packed_ids",
+        "pack_den",
     ),
 )
 def candidate_pairs_stream(
@@ -257,6 +290,7 @@ def candidate_pairs_stream(
     cap_out: int,
     presorted: bool = False,
     packed_ids: bool = False,
+    pack_den: int = 0,
 ):
     """Global-stream candidate generation (the single-chip fast path).
 
@@ -283,7 +317,7 @@ def candidate_pairs_stream(
         mid_lead=mid_lead, mid_tail=mid_tail,
     )
     fst, snd, ok, h_tot, t_tot = expand_raw_pairs(
-        occ_s, geom, cap_head, cap_tail
+        occ_s, geom, cap_head, cap_tail, pack_den=pack_den
     )
     n = fst.shape[0]
 

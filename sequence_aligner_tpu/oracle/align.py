@@ -15,7 +15,7 @@ trailing read shorter than the band), we return the shared DUD failure
 alignment instead — DUD never passes the validity filter, so emitted output
 is unaffected.
 
-Device implementations (ops/align_lax.py, ops/align_pallas.py) are validated
+Device implementations (ops/align_fused.py, ops/align_lax.py) are validated
 cell-for-cell against this module.
 """
 

@@ -39,7 +39,6 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from sequence_aligner_tpu.core.settings import AlignSettings
-from sequence_aligner_tpu.ops.align_lax import fast_dovetail_batch
 from sequence_aligner_tpu.ops.kmer import kmer_scan
 from sequence_aligner_tpu.ops.pairgen import (
     aggregate_pairs, compact_pairs, expand_raw_pairs, sort_occurrences,
@@ -146,7 +145,6 @@ def make_sharded_overlap_step(
     cap_pair_route: int,
     cap_out: int,
     axis: str = "shard",
-    use_fused: bool | None = None,
 ):
     """Build the jitted sharded step.
 
@@ -166,8 +164,6 @@ def make_sharded_overlap_step(
     )
     min_c = jnp.int32(s.min_collisions)
     max_c = jnp.int32(s.max_collisions)
-    if use_fused is None:
-        use_fused = jax.default_backend() == "tpu"
     # exact band-width lookup by lead length (float32 parity)
     wtab = jnp.asarray(
         [s.band_width(l) for l in range(la_max + 1)], np.int32
@@ -183,24 +179,18 @@ def make_sharded_overlap_step(
             max_ignore=jnp.int32(s.max_ignore),
             la_max=la_max, lb_max=la_max,
         )
+        from sequence_aligner_tpu.ops.align_fused import (
+            fast_dovetail_batch_fused,
+        )
+
         pw = wtab[jnp.clip(a_lens, 0, la_max)]
         res = None
         for w in widths:
-            if use_fused:
-                from sequence_aligner_tpu.ops.align_fused import (
-                    fast_dovetail_batch_fused,
-                )
-
-                r = fast_dovetail_batch_fused(
-                    a_rows, a_lens, b_rows, b_lens,
-                    cm_tuple=tuple(int(x) for x in s.cost_matrix.reshape(-1)),
-                    width=int(w), **kw,
-                )
-            else:
-                r = fast_dovetail_batch(
-                    a_rows, a_lens, b_rows, b_lens,
-                    cm=jnp.asarray(s.cost_matrix), width=int(w), **kw,
-                )
+            r = fast_dovetail_batch_fused(
+                a_rows, a_lens, b_rows, b_lens,
+                cm_tuple=tuple(int(x) for x in s.cost_matrix.reshape(-1)),
+                width=int(w), **kw,
+            )
             if res is None:
                 res = r
             else:

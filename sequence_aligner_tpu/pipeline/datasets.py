@@ -68,6 +68,28 @@ def c_ruddii_reads(
     return shred_genome(load_genome(), n_reads, read_len, **kw)
 
 
+def simulated_reads(
+    n_reads: int,
+    read_len: int = 100,
+    *,
+    coverage: float = 8.0,
+    error_rate: float = 0.0,
+    seed: int = 0,
+) -> list[Sequence]:
+    """Large-scale simulated dataset (BASELINE configs 4-5): a random
+    genome sized for the requested coverage, shredded into n_reads reads.
+    Random genomes are repeat-free, so candidate density stays realistic
+    as N grows (a repeated real genome would explode k-mer collisions)."""
+    rng = np.random.RandomState(seed)
+    genome_len = max(int(n_reads * read_len / coverage), read_len + 1)
+    genome = "".join(
+        _BASES[i] for i in rng.randint(0, 4, genome_len)
+    )
+    return shred_genome(
+        genome, n_reads, read_len, error_rate=error_rate, seed=seed + 1
+    )
+
+
 def write_seq(seqs: list[Sequence], path: str) -> None:
     """Write reads as a .seq/FASTA file consumable by toAmos_new."""
     with open(path, "w") as f:

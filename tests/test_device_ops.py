@@ -8,7 +8,8 @@ from sequence_aligner_tpu.core.records import Sequence
 from sequence_aligner_tpu.core.settings import AlignSettings
 from sequence_aligner_tpu.io.fasta import read_fasta
 from sequence_aligner_tpu.models.overlapper import Overlapper
-from sequence_aligner_tpu.ops.align_lax import fast_dovetail_batch, local_align_batch
+from sequence_aligner_tpu.ops.align_fused import fast_dovetail_batch_fused
+from sequence_aligner_tpu.ops.align_lax import local_align_batch
 from sequence_aligner_tpu.ops.encode import decode_read, encode_reads, pack_2bit, unpack_2bit
 from sequence_aligner_tpu.ops.kmer import kmer_scan
 from sequence_aligner_tpu.oracle.align import fast_dovetail_alignment, local_alignment
@@ -87,10 +88,13 @@ def _batch_align(seqs, pairs, s, *, dovetail=True):
     )
     if dovetail:
         w = s.band_width(int(lengths[a_idx].max()))
-        return fast_dovetail_batch(
+        kwf = dict(kw)
+        kwf.pop("cm")
+        return fast_dovetail_batch_fused(
             jnp.asarray(bases[a_idx]), jnp.asarray(lengths[a_idx]),
             jnp.asarray(bases[b_idx]), jnp.asarray(lengths[b_idx]),
-            width=w, **kw,
+            cm_tuple=tuple(int(x) for x in s.cost_matrix.reshape(-1)),
+            width=w, pblk=64, **kwf,
         )
     return local_align_batch(
         jnp.asarray(bases[a_idx]), jnp.asarray(lengths[a_idx]),
@@ -246,56 +250,6 @@ def test_candidate_pairs_count_values_match_oracle(crp_seqs, packed):
         t.add_sequence(q, s.kmer_size)
     want = t.calc_pair_data(s)
     assert got == dict(want)
-
-
-def _batch_align_pallas(seqs, pairs, s):
-    bases, lengths = encode_reads(seqs)
-    a_idx = np.asarray([a - 1 for a, _ in pairs])
-    b_idx = np.asarray([b - 1 for _, b in pairs])
-    # pad batch to the pallas block size
-    pblk = 128
-    pad = (-len(pairs)) % pblk
-    a_idx = np.concatenate([a_idx, np.repeat(a_idx[-1:], pad)])
-    b_idx = np.concatenate([b_idx, np.repeat(b_idx[-1:], pad)])
-    from sequence_aligner_tpu.ops.align_pallas import fast_dovetail_batch_pallas
-
-    w = s.band_width(int(lengths[a_idx].max()))
-    return fast_dovetail_batch_pallas(
-        jnp.asarray(bases[a_idx]), jnp.asarray(lengths[a_idx]),
-        jnp.asarray(bases[b_idx]), jnp.asarray(lengths[b_idx]),
-        cm_tuple=tuple(int(x) for x in s.cost_matrix.reshape(-1)),
-        gO=s.gap_open, gE=s.gap_extend,
-        min_identity=jnp.float32(s.min_identity),
-        min_overlap=jnp.int32(s.min_overlap),
-        max_ignore=jnp.int32(s.max_ignore),
-        la_max=bases.shape[1], lb_max=bases.shape[1], width=w, pblk=pblk,
-    )
-
-
-def test_pallas_dovetail_matches_oracle():
-    """Pallas fills (interpret mode on CPU) match the oracle element-level."""
-    rng = np.random.RandomState(7)
-    seqs = _random_reads(rng, 30, 100)
-    pairs = [(a, b) for a in range(1, 31) for b in range(1, 31) if a != b]
-    rng.shuffle(pairs)
-    pairs = pairs[:64]
-    res = _batch_align_pallas(seqs, pairs, AlignSettings())
-    by_id = {q.id: q for q in seqs}
-    s = AlignSettings()
-    for n, (a, b) in enumerate(pairs):
-        o = fast_dovetail_alignment(by_id[a], by_id[b], s)
-        assert bool(res["dud"][n]) == o.dud, (a, b)
-        if o.dud:
-            continue
-        got = (
-            int(res["start_i"][n]), int(res["start_j"][n]),
-            int(res["end_i"][n]), int(res["end_j"][n]),
-            int(res["correct"][n]), int(res["error"][n]),
-            int(res["align_len"][n]),
-        )
-        want = (*o.start, *o.end, o.correct, o.error, o.align_len)
-        assert got == want, (a, b, got, want)
-        assert bool(res["align_valid"][n]) == o.valid(s), (a, b)
 
 
 def test_pallas_end_to_end_golden(crp_seqs):

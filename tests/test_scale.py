@@ -1,0 +1,51 @@
+"""Large-scale simulated sharded run (BASELINE config 4).
+
+Gated on SEQALIGN_SCALE (=read count, or "1" for the 250k default; the
+1M-read configuration is SEQALIGN_SCALE=1000000): shreds a random genome
+at 8x coverage, runs the full sharded overlap step on the virtual
+8-device mesh, and asserts it converges with per-device capacities
+O(N / n_dev) — the memory scaling the hash-prefix sharding exists for.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from sequence_aligner_tpu.core.settings import AlignSettings
+from sequence_aligner_tpu.parallel.mesh import make_mesh
+from sequence_aligner_tpu.parallel.shard import sharded_overlap
+from sequence_aligner_tpu.pipeline.datasets import simulated_reads
+
+_SCALE = os.environ.get("SEQALIGN_SCALE")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not _SCALE, reason="set SEQALIGN_SCALE=1 (250k reads) or a read count"
+)
+def test_sharded_scale_sim():
+    n_reads = 250_000 if _SCALE == "1" else int(_SCALE)
+    seqs = simulated_reads(n_reads, 100, coverage=8.0, seed=3)
+    s = AlignSettings.amos_parity()
+    mesh = make_mesh(8)
+    n_dev = 8
+    # capacities sized O(N / n_dev): the point of hash-prefix sharding
+    kmers_per_dev = n_reads * 89 // n_dev
+    caps = dict(
+        cap_route=2 * kmers_per_dev,
+        cap_head=4 * kmers_per_dev,
+        cap_tail=4 * kmers_per_dev,
+        cap_agg=n_reads // 2,
+        cap_pair_route=n_reads // 4,
+        cap_out=n_reads // 2,
+    )
+    recs = sharded_overlap(seqs, s, mesh, caps=caps)
+    assert len(recs) > n_reads  # ~8x coverage: several overlaps per read
+    ids = np.asarray([(r.id_a, r.id_b) for r in recs])
+    assert ids.min() >= 1 and ids.max() <= n_reads
+    assert (ids[:, 0] != ids[:, 1]).all()
+    # canonical order, no duplicate records
+    keys = [(r.id_a, r.id_b) for r in recs]
+    assert keys == sorted(keys)
+    assert len(set(keys)) == len(keys)
