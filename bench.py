@@ -23,6 +23,11 @@ BASELINE_READS_PER_S = 32000.0 / 1200.0
 
 N_READS = int(os.environ.get("BENCH_READS", "32000"))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", "100"))
+ERROR_RATE = float(os.environ.get("BENCH_ERROR_RATE", "0"))
+# BENCH_SIM=<coverage>: random-genome simulated dataset at that coverage
+# instead of the c_ruddii shred (for assignment-scale runs, e.g.
+# BENCH_READS=100000 BENCH_SIM=8)
+SIM_COVERAGE = float(os.environ.get("BENCH_SIM", "0"))
 
 
 def log(msg):
@@ -41,8 +46,18 @@ def main():
     from sequence_aligner_tpu.models.overlapper import Overlapper
     from sequence_aligner_tpu.pipeline.datasets import c_ruddii_reads
 
-    seqs = c_ruddii_reads(n_reads=N_READS, read_len=READ_LEN)
-    log(f"dataset: {len(seqs)} reads x {READ_LEN} bp")
+    if SIM_COVERAGE:
+        from sequence_aligner_tpu.pipeline.datasets import simulated_reads
+
+        seqs = simulated_reads(
+            N_READS, READ_LEN, coverage=SIM_COVERAGE, error_rate=ERROR_RATE
+        )
+    else:
+        seqs = c_ruddii_reads(
+            n_reads=N_READS, read_len=READ_LEN, error_rate=ERROR_RATE
+        )
+    log(f"dataset: {len(seqs)} reads x {READ_LEN} bp (error {ERROR_RATE}"
+        f"{f', sim coverage {SIM_COVERAGE}' if SIM_COVERAGE else ''})")
     s = AlignSettings.amos_parity()
 
     # warmup pass: triggers all compiles at the exact production shapes

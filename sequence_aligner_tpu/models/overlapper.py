@@ -43,7 +43,7 @@ from sequence_aligner_tpu.ops.kmer import kmer_scan
 from sequence_aligner_tpu.ops.pairgen import (
     candidate_pairs_stream, plan_totals_device, sort_occurrences_jit,
 )
-from sequence_aligner_tpu.utils.debug import printdb
+from sequence_aligner_tpu.utils.debug import debug_enabled, printdb
 from sequence_aligner_tpu.utils.timing import StageTimer
 
 
@@ -427,4 +427,10 @@ class Overlapper:
                 for a, b, h, g in zip(*cols)
             ]
         printdb(self.timer.report())
+        if debug_enabled():
+            from sequence_aligner_tpu.utils.profiling import (
+                device_memory_stats,
+            )
+
+            printdb(f"device memory: {device_memory_stats()}")
         return records

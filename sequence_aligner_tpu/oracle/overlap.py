@@ -13,6 +13,7 @@ from sequence_aligner_tpu.core.settings import AlignSettings
 from sequence_aligner_tpu.io.fasta import read_fasta
 from sequence_aligner_tpu.oracle.align import fast_dovetail_alignment, local_alignment
 from sequence_aligner_tpu.oracle.kmers import KmerTableOracle
+from sequence_aligner_tpu.utils.debug import heartbeat
 
 
 def build_table(seqs: list[Sequence], s: AlignSettings) -> KmerTableOracle:
@@ -34,7 +35,10 @@ def oracle_alignments(
     by_id = {q.id: q for q in seqs}
     align = fast_dovetail_alignment if fast_dovetail else local_alignment
     out = []
-    for a, b in table.candidate_pairs(s):
+    for i, (a, b) in enumerate(table.candidate_pairs(s)):
+        # --debug progress prints, like the reference's per-N heartbeats
+        # in its alignment loops (src/Project4.scala:654-664)
+        heartbeat(i, 1000, f" Aligned {i} pairs...")
         r = align(by_id[a], by_id[b], s)
         if (not filter_valid) or r.valid(s):
             out.append(r)

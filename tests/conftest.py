@@ -8,18 +8,25 @@ sharding/multi-chip code paths are exercised without TPU hardware
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# SEQALIGN_TPU=1 runs on the real device instead of the virtual CPU mesh —
+# intended for the env-gated full-scale tests (test_differential.py's 32k
+# run); the 8-device sharding tests require the CPU mesh and will fail.
+_USE_TPU = bool(os.environ.get("SEQALIGN_TPU"))
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-# the axon harness pins jax_platforms to the TPU tunnel via sitecustomize;
-# env vars alone don't override it — force the config directly.
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    # the axon harness pins jax_platforms to the TPU tunnel via
+    # sitecustomize; env vars alone don't override it — force the config.
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

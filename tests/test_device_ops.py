@@ -161,6 +161,36 @@ def test_dovetail_batch_mixed_lengths():
     _check_pairs(seqs, pairs, AlignSettings(), dovetail=True)
 
 
+def test_long_reads_end_to_end():
+    """Assignment-scale read lengths (~1000 bp, final_project.pdf p.1):
+    wider bands (w=21), longer DP loops, multi-width bucketing — engine
+    output must equal the oracle end-to-end."""
+    from sequence_aligner_tpu.oracle.overlap import oracle_overlaps
+
+    rng = np.random.RandomState(17)
+    bases = "ACTG"
+    genome = "".join(bases[i] for i in rng.randint(0, 4, 12000))
+    seqs = []
+    for i in range(20):
+        start = 80 * i  # hang 80 < max_ignore 90
+        ln = 1000 if i % 2 == 0 else 640
+        body = list(genome[start : start + ln])
+        for _ in range(ln // 200):  # ~0.5% errors
+            p = rng.randint(0, ln)
+            body[p] = bases[rng.randint(0, 4)]
+        seqs.append(Sequence(i + 1, "".join(body)))
+    # widened hang limit: mixed 640/1000 bp reads legitimately produce
+    # |bhg| ~ len_b - len_a (the defaults target ~100 bp reads)
+    s = AlignSettings.amos_parity(max_ignore=500)
+    assert s.band_width(1000) == 20  # float32 (1-0.98)*1000 rounds down
+    got = Overlapper(s).run(seqs)
+    want = oracle_overlaps(seqs, s)
+    assert [(r.id_a, r.id_b, r.ahg, r.bhg) for r in got] == [
+        (r.id_a, r.id_b, r.ahg, r.bhg) for r in want
+    ]
+    assert got, "long-read dataset produced no overlaps"
+
+
 def test_device_end_to_end_golden(crp_seqs):
     """Flagship device test: full jitted pipeline reproduces the golden
     crp177.ovl byte-for-byte."""
