@@ -149,12 +149,15 @@ def _count_valid(stacked):
 
 @partial(jax.jit, static_argnames=("cap",))
 def _compact_valid(stacked, *, cap: int):
-    """Pack the valid rows of a [N, 12] stacked result into [cap, 12]."""
+    """Pack the valid rows' OVL fields (lead, trail, ahg, bhg — columns
+    10, 11, 7, 8) into [cap, 4]: only what the host needs to emit records
+    crosses the device link."""
     mask = stacked[:, 9] > 0
+    cols = stacked[:, jnp.asarray([10, 11, 7, 8])]
     incl = jnp.cumsum(mask.astype(jnp.int32))
     slot = jnp.where(mask, incl - 1, cap)
-    buf = jnp.zeros((cap + 1, stacked.shape[1]), jnp.int32).at[slot].set(
-        jnp.where(mask[:, None], stacked, 0)
+    buf = jnp.zeros((cap + 1, 4), jnp.int32).at[slot].set(
+        jnp.where(mask[:, None], cols, 0)
     )
     return buf[:cap]
 
@@ -318,7 +321,7 @@ class Overlapper:
             return empty
         cap_v = _pow2_at_least(n_valid, 1 << 10)
         packed = np.asarray(_compact_valid(stacked, cap=cap_v))[:n_valid]
-        return packed[:, 10], packed[:, 11], packed[:, 7], packed[:, 8]
+        return packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3]
 
     def _align(
         self,
