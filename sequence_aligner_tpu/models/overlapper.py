@@ -116,16 +116,26 @@ def _align_chunk(
     )
     if kernel == "fused":
         from sequence_aligner_tpu.ops.align_fused import (
-            _dove_shift_packed, _fused_core,
+            _dove_shift_packed, _fused_core, _fused_core_packed, _interpret,
         )
 
-        a_t = bases[a_idx].astype(jnp.int32).T
-        b_t = bases[b_idx].astype(jnp.int32).T
-        res = _fused_core(
-            a_t, b_t, lengths[a_idx], lengths[b_idx],
-            lambda ds: _dove_shift_packed(packed, a_idx, ds, la_max),
-            cm_tuple=cm_tuple, width=width, pblk=pblk, **kw,
-        )
+        if not _interpret():
+            # TPU: gather only the packed words (16x fewer elements than
+            # the [la_max, bs] code planes); kernels unpack in VMEM and
+            # run the dove shift in-register
+            res = _fused_core_packed(
+                packed[a_idx].T, packed[b_idx].T,
+                lengths[a_idx], lengths[b_idx],
+                cm_tuple=cm_tuple, width=width, pblk=pblk, **kw,
+            )
+        else:
+            a_t = bases[a_idx].astype(jnp.int32).T
+            b_t = bases[b_idx].astype(jnp.int32).T
+            res = _fused_core(
+                a_t, b_t, lengths[a_idx], lengths[b_idx],
+                lambda ds: _dove_shift_packed(packed, a_idx, ds, la_max),
+                cm_tuple=cm_tuple, width=width, pblk=pblk, **kw,
+            )
     else:  # quadratic full SW
         ab, al = bases[a_idx], lengths[a_idx]
         bb, bl = bases[b_idx], lengths[b_idx]

@@ -181,21 +181,79 @@ def _phase1_init(cols, pblk):
     return zero, zero, zero, zero, z, z, z, z
 
 
-def _phase1_fused_kernel(
-    a_ref, b_ref, alen_ref,
+def _unpack_static(w_ref, r: int):
+    """Code row r of a packed-words ref, r a Python int ([pblk] int32).
+    Arithmetic >> is safe under the & 3 mask: bits r*2, r*2+1 land in the
+    low two positions regardless of sign fill."""
+    return (w_ref[r >> 4, :] >> (2 * (r & 15))) & 3
+
+
+def _unpack_dyn(w_ref, r):
+    """Code row r of a packed-words ref, r a traced scalar."""
+    row = w_ref[pl.ds(r >> 4, 1), :]
+    return (row[0] >> (2 * (r & 15))) & 3
+
+
+def _lsr(x, sh):
+    """Logical right shift of int32 x by per-lane sh in [0, 31] (Mosaic
+    int32 >> is arithmetic; clearing the sign-filled bit after a 1-step
+    pre-shift makes the rest logical)."""
+    x1 = (x >> 1) & jnp.int32(0x7FFFFFFF)
+    return jnp.where(sh == 0, x, x1 >> jnp.maximum(sh - 1, 0))
+
+
+def _shift_words(aw, ds, wpr: int):
+    """Per-lane dove shift on packed words: out[q] holds codes
+    ds .. ds+15 of word-stream aw at q = 0, i.e. code (r + ds) of A sits
+    at bit 2*(r % 16) of out[r // 16] — the in-kernel replacement for a
+    [la_max, P] element gather.  Word-level rotation is log-doubling
+    selects along sublanes; the sub-word residue is a per-lane variable
+    bit shift."""
+    pblk = aw.shape[1]
+    m = ds >> 4
+    sh = (2 * (ds & 15))[None, :]
+    rot = aw
+    step, bit = 1, 0
+    while step <= wpr:  # m <= wpr (ds <= 16 * wpr)
+        take = ((m >> bit) & 1)[None, :]
+        shifted = jnp.concatenate(
+            [rot[step:], jnp.zeros((min(step, wpr), pblk), jnp.int32)[:step]],
+            axis=0,
+        ) if step < wpr else jnp.zeros((wpr, pblk), jnp.int32)
+        rot = jnp.where(take == 1, shifted, rot)
+        step *= 2
+        bit += 1
+    nxt = jnp.concatenate(
+        [rot[1:], jnp.zeros((1, pblk), jnp.int32)], axis=0
+    )
+    hi = jnp.where(sh == 0, 0, (nxt << (31 - sh)) << 1)
+    return jnp.where(sh == 0, rot, _lsr(rot, sh) | hi)
+
+
+def _phase1_packed_kernel(
+    aw_ref, bw_ref, alen_ref,
     best_ref, bi_ref, bj_ref, fi_ref, fj_ref,
-    *, la_max: int, w: int, gO: int, gE: int, cm_tuple,
+    *, la_max: int, w: int, gO: int, gE: int, cm_tuple, wpr_b: int,
 ):
-    pblk = a_ref.shape[1]
+    pblk = aw_ref.shape[1]
     cols = w + 1
-    b_codes = b_ref[0:w, :]
+    b_codes = jnp.concatenate(
+        [
+            _unpack_static(bw_ref, r)[None, :]
+            if r < 16 * wpr_b
+            else jnp.zeros((1, pblk), jnp.int32)
+            for r in range(w)
+        ],
+        axis=0,
+    )
     alen = alen_ref[0, :]
     karr = jax.lax.broadcasted_iota(jnp.int32, (cols, pblk), 0)
 
     def body(i, carry):
         return _phase1_row(
-            carry, i, a_ref[i - 1, :], b_codes=b_codes, alen=alen,
-            karr=karr, la_max=la_max, w=w, gO=gO, gE=gE, cm_tuple=cm_tuple,
+            carry, i, _unpack_dyn(aw_ref, i - 1), b_codes=b_codes,
+            alen=alen, karr=karr, la_max=la_max, w=w, gO=gO, gE=gE,
+            cm_tuple=cm_tuple,
         )
 
     *_, best, bi, bj, fst = jax.lax.fori_loop(
@@ -308,23 +366,44 @@ def _phase2_init(cols, pblk, b0):
     return zero, zero, zero, zero, zero, z, z, z, z, z, b0
 
 
-def _phase2_fused_kernel(
-    a_ref, bpad_ref, dlen_ref, blen_ref,
+def _phase2_packed_kernel(
+    aw_ref, bw_ref, ds_ref, dlen_ref, blen_ref,
     best_ref, bu_ref, bk_ref, uf_ref, kf_ref, c_ref, e_ref,
+    sw_ref,
     *, la_max: int, w: int, zero_row: int, gO: int, gE: int, cm_tuple,
+    wpr: int, wpr_b: int,
 ):
-    pblk = a_ref.shape[1]
+    """Phase 2 on packed words: the dove shift happens HERE (word
+    rotation + per-lane bit shift into VMEM scratch, once per pair), and
+    both operands unpack row-by-row — no [la_max, P] shifted-code plane
+    or [la_max + w + 1, P] padded-B plane ever exists."""
+    pblk = aw_ref.shape[1]
     cols = w + 1
     dlen = dlen_ref[0, :]
     blen = blen_ref[0, :]
     karr = jax.lax.broadcasted_iota(jnp.int32, (cols, pblk), 0)
-    npad = bpad_ref.shape[0]
-    b0 = bpad_ref[1 : cols + 1, :]  # band window for u = 1
+    sw_ref[:, :] = _shift_words(aw_ref[:, :], ds_ref[0, :], wpr)
+
+    # band window for u = 1: window row r holds B code (r - zero_row)
+    b0 = jnp.concatenate(
+        [
+            _unpack_static(bw_ref, r - zero_row)[None, :]
+            if 0 <= r - zero_row < 16 * wpr_b
+            else jnp.zeros((1, pblk), jnp.int32)
+            for r in range(cols)
+        ],
+        axis=0,
+    )
 
     def body(u, carry):
-        nxt = bpad_ref[jnp.minimum(u + cols, npad - 1), :]
+        a_code = _unpack_dyn(sw_ref, u - 1)
+        jb = u + cols - zero_row - 1  # B code index entering the window
+        brow = bw_ref[pl.ds(jnp.clip(jb >> 4, 0, wpr_b - 1), 1), :]
+        nxt = jnp.where(
+            jb < 16 * wpr_b, (brow[0] >> (2 * (jb & 15))) & 3, 0
+        )
         return _phase2_row(
-            carry, u, a_ref[u - 1, :], nxt, dlen=dlen, blen=blen, karr=karr,
+            carry, u, a_code, nxt, dlen=dlen, blen=blen, karr=karr,
             la_max=la_max, w=w, zero_row=zero_row, gO=gO, gE=gE,
             cm_tuple=cm_tuple,
         )
@@ -379,31 +458,53 @@ def _vec_shape(p):
     return jax.ShapeDtypeStruct((1, p), jnp.int32)
 
 
+def phase1_fused(a_t, b_t, a_len, *, la_max, w, gO, gE, cm_tuple, pblk=256):
+    """Code-plane phase 1 (lax.scan) — the non-TPU semantic backstop; the
+    TPU path runs the packed-word Pallas kernel (phase1_fused_packed)."""
+    return _phase1_fused_scan(
+        a_t, b_t, a_len, la_max=la_max, w=w, gO=gO, gE=gE,
+        cm_tuple=cm_tuple,
+    )
+
+
+def phase2_fused(
+    a_shift, b_pad, dove_len, b_len, *,
+    la_max, w, zero_row, gO, gE, cm_tuple, pblk=256,
+):
+    """Code-plane phase 2 (lax.scan) — the non-TPU semantic backstop."""
+    return _phase2_fused_scan(
+        a_shift, b_pad, dove_len, b_len, la_max=la_max, w=w,
+        zero_row=zero_row, gO=gO, gE=gE, cm_tuple=cm_tuple,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("la_max", "w", "gO", "gE", "cm_tuple", "pblk")
 )
-def phase1_fused(a_t, b_t, a_len, *, la_max, w, gO, gE, cm_tuple, pblk=256):
-    if _interpret():  # non-TPU backends: same row step under lax.scan
-        return _phase1_fused_scan(
-            a_t, b_t, a_len, la_max=la_max, w=w, gO=gO, gE=gE,
-            cm_tuple=cm_tuple,
-        )
-    p = a_t.shape[1]
+def phase1_fused_packed(
+    aw_t, bw_t, a_len, *, la_max, w, gO, gE, cm_tuple, pblk=256
+):
+    """Phase 1 from packed words ([wpr, P] int32 per operand, wpr =
+    ceil(L/16)): operands unpack row-by-row inside the kernel, so the
+    [la_max, P] code planes (and their 26M-element gathers per chunk)
+    never exist."""
+    p = aw_t.shape[1]
+    wpr, wpr_b = aw_t.shape[0], bw_t.shape[0]
     kernel = functools.partial(
-        _phase1_fused_kernel, la_max=la_max, w=w, gO=gO, gE=gE,
-        cm_tuple=cm_tuple,
+        _phase1_packed_kernel, la_max=la_max, w=w, gO=gO, gE=gE,
+        cm_tuple=cm_tuple, wpr_b=wpr_b,
     )
     outs = pl.pallas_call(
         kernel,
         grid=(p // pblk,),
         in_specs=[
-            pl.BlockSpec((la_max, pblk), lambda i: (0, i)),
-            pl.BlockSpec((b_t.shape[0], pblk), lambda i: (0, i)),
+            pl.BlockSpec((wpr, pblk), lambda i: (0, i)),
+            pl.BlockSpec((wpr_b, pblk), lambda i: (0, i)),
             _vec_spec(pblk),
         ],
         out_specs=[_vec_spec(pblk)] * 5,
         out_shape=[_vec_shape(p)] * 5,
-    )(a_t, b_t, a_len[None, :])
+    )(aw_t, bw_t, a_len[None, :])
     return tuple(o[0] for o in outs)
 
 
@@ -411,32 +512,33 @@ def phase1_fused(a_t, b_t, a_len, *, la_max, w, gO, gE, cm_tuple, pblk=256):
     jax.jit,
     static_argnames=("la_max", "w", "zero_row", "gO", "gE", "cm_tuple", "pblk"),
 )
-def phase2_fused(
-    a_shift, b_pad, dove_len, b_len, *,
+def phase2_fused_packed(
+    aw_t, bw_t, dove_start, dove_len, b_len, *,
     la_max, w, zero_row, gO, gE, cm_tuple, pblk=256,
 ):
-    if _interpret():
-        return _phase2_fused_scan(
-            a_shift, b_pad, dove_len, b_len, la_max=la_max, w=w,
-            zero_row=zero_row, gO=gO, gE=gE, cm_tuple=cm_tuple,
-        )
-    p = a_shift.shape[1]
+    """Phase 2 from packed words with the in-kernel dove shift."""
+    p = aw_t.shape[1]
+    wpr, wpr_b = aw_t.shape[0], bw_t.shape[0]
     kernel = functools.partial(
-        _phase2_fused_kernel, la_max=la_max, w=w, zero_row=zero_row,
-        gO=gO, gE=gE, cm_tuple=cm_tuple,
+        _phase2_packed_kernel, la_max=la_max, w=w, zero_row=zero_row,
+        gO=gO, gE=gE, cm_tuple=cm_tuple, wpr=wpr, wpr_b=wpr_b,
     )
     outs = pl.pallas_call(
         kernel,
         grid=(p // pblk,),
         in_specs=[
-            pl.BlockSpec((la_max, pblk), lambda i: (0, i)),
-            pl.BlockSpec((b_pad.shape[0], pblk), lambda i: (0, i)),
+            pl.BlockSpec((wpr, pblk), lambda i: (0, i)),
+            pl.BlockSpec((wpr_b, pblk), lambda i: (0, i)),
+            _vec_spec(pblk),
             _vec_spec(pblk),
             _vec_spec(pblk),
         ],
         out_specs=[_vec_spec(pblk)] * 7,
         out_shape=[_vec_shape(p)] * 7,
-    )(a_shift, b_pad, dove_len[None, :], b_len[None, :])
+        scratch_shapes=[pltpu.VMEM((wpr, pblk), jnp.int32)],
+    )(
+        aw_t, bw_t, dove_start[None, :], dove_len[None, :], b_len[None, :]
+    )
     return tuple(o[0] for o in outs)
 
 
@@ -489,18 +591,84 @@ def _fused_core(
     cm_tuple, gO, gE, min_identity, min_overlap, max_ignore,
     la_max: int, lb_max: int, width: int, pblk: int,
 ):
-    """Shared body of the fused dovetail: phase 1, dove anchor, phase 2,
-    validity.  ``shift_fn(dove_start) -> [la_max, P]`` provides the
-    dove-shifted A codes (flat gather or packed-word path)."""
+    """Code-plane body of the fused dovetail (non-TPU backends): phase 1,
+    dove anchor, phase 2, validity.  ``shift_fn(dove_start) ->
+    [la_max, P]`` provides the dove-shifted A codes."""
     p = a_t.shape[1]
     w = width
+    zero_row = w // 2
 
-    dud_short = b_len < w  # reference would index past B (BioLibs.scala:418)
-
-    best1, bi, bj, fi_c, fj_c = phase1_fused(
+    p1 = phase1_fused(
         a_t, b_t, a_len, la_max=la_max, w=w, gO=gO, gE=gE,
         cm_tuple=cm_tuple, pblk=pblk,
     )
+
+    def run_phase2(dove_start, dove_len):
+        # dove-shifted A; B padded so row (u+k) of the carried band
+        # window is B[k - zero_row + u - 1]
+        a_shift = shift_fn(dove_start)
+        pad_top = zero_row + 1
+        pad_bot = max(la_max + w + 1 - pad_top - lb_max, 0)
+        b_pad = jnp.concatenate(
+            [
+                jnp.zeros((pad_top, p), jnp.int32),
+                b_t,
+                jnp.zeros((pad_bot, p), jnp.int32),
+            ],
+            axis=0,
+        )
+        return phase2_fused(
+            a_shift, b_pad, dove_len, b_len,
+            la_max=la_max, w=w, zero_row=zero_row, gO=gO, gE=gE,
+            cm_tuple=cm_tuple, pblk=pblk,
+        )
+
+    return _dovetail_glue(
+        p1, run_phase2, a_len, b_len, width=w,
+        min_identity=min_identity, min_overlap=min_overlap,
+        max_ignore=max_ignore,
+    )
+
+
+def _fused_core_packed(
+    aw_t, bw_t, a_len, b_len, *,
+    cm_tuple, gO, gE, min_identity, min_overlap, max_ignore,
+    la_max: int, lb_max: int, width: int, pblk: int,
+):
+    """Packed-word body of the fused dovetail (the TPU path): operands
+    are [wpr, P] int32 word planes; both phases and the dove shift run
+    inside the Pallas kernels."""
+    w = width
+    p1 = phase1_fused_packed(
+        aw_t, bw_t, a_len, la_max=la_max, w=w, gO=gO, gE=gE,
+        cm_tuple=cm_tuple, pblk=pblk,
+    )
+
+    def run_phase2(dove_start, dove_len):
+        return phase2_fused_packed(
+            aw_t, bw_t, dove_start, dove_len, b_len,
+            la_max=la_max, w=w, zero_row=w // 2, gO=gO, gE=gE,
+            cm_tuple=cm_tuple, pblk=pblk,
+        )
+
+    return _dovetail_glue(
+        p1, run_phase2, a_len, b_len, width=w,
+        min_identity=min_identity, min_overlap=min_overlap,
+        max_ignore=max_ignore,
+    )
+
+
+def _dovetail_glue(
+    p1, run_phase2, a_len, b_len, *,
+    width: int, min_identity, min_overlap, max_ignore,
+):
+    """Phase-1 -> dove anchor -> phase-2 -> reference validity, shared by
+    the code-plane and packed-word cores (validity semantics:
+    src/ObjectStore.scala:102-141)."""
+    w = width
+    zero_row = w // 2
+    best1, bi, bj, fi_c, fj_c = p1
+    dud_short = b_len < w  # reference would index past B (BioLibs.scala:418)
     act1 = (best1 > 0) & ~dud_short
     # inactive pairs keep the best-cell coords (lax-path traceback parity)
     fi = jnp.where(act1, fi_c, bi)
@@ -508,26 +676,8 @@ def _fused_core(
     dud = ~act1 | (fj != 0)
     dove_start = fi
     dove_len = a_len - dove_start
-    zero_row = w // 2
 
-    # dove-shifted A; B padded so row (u+k) of the carried band window is
-    # B[k - zero_row + u - 1]
-    a_shift = shift_fn(dove_start)
-    pad_top = zero_row + 1
-    pad_bot = max(la_max + w + 1 - pad_top - lb_max, 0)
-    b_pad = jnp.concatenate(
-        [
-            jnp.zeros((pad_top, p), jnp.int32),
-            b_t,
-            jnp.zeros((pad_bot, p), jnp.int32),
-        ],
-        axis=0,
-    )
-    best2, bu, bk, uf_c, kf_c, corr_c, err_c = phase2_fused(
-        a_shift, b_pad, dove_len, b_len,
-        la_max=la_max, w=w, zero_row=zero_row, gO=gO, gE=gE,
-        cm_tuple=cm_tuple, pblk=pblk,
-    )
+    best2, bu, bk, uf_c, kf_c, corr_c, err_c = run_phase2(dove_start, dove_len)
     act2 = (best2 > 0) & ~dud
     uf = jnp.where(act2, uf_c, bu)
     kf = jnp.where(act2, kf_c, bk)
@@ -577,6 +727,16 @@ def fast_dovetail_batch_fused(
     outputs, same reference semantics (src/BioLibs.scala:373-591,
     validity src/ObjectStore.scala:102-141)."""
     p = a_bases.shape[0]
+    kw = dict(
+        cm_tuple=cm_tuple, gO=gO, gE=gE, min_identity=min_identity,
+        min_overlap=min_overlap, max_ignore=max_ignore,
+        la_max=la_max, lb_max=lb_max, width=width, pblk=pblk,
+    )
+    if not _interpret():  # TPU: packed-word Pallas kernels
+        aw_t = pack_reads_le(a_bases).T
+        bw_t = pack_reads_le(b_bases).T
+        return _fused_core_packed(aw_t, bw_t, a_len, b_len, **kw)
+
     a_t = a_bases.astype(jnp.int32).T
     b_t = b_bases.astype(jnp.int32).T
 
@@ -586,12 +746,7 @@ def fast_dovetail_batch_fused(
         idx = jnp.clip(rows + dove_start[None, :], 0, la_max - 1) * p + lanes
         return a_t.reshape(-1)[idx.reshape(-1)].reshape(la_max, p)
 
-    return _fused_core(
-        a_t, b_t, a_len, b_len, shift_flat,
-        cm_tuple=cm_tuple, gO=gO, gE=gE, min_identity=min_identity,
-        min_overlap=min_overlap, max_ignore=max_ignore,
-        la_max=la_max, lb_max=lb_max, width=width, pblk=pblk,
-    )
+    return _fused_core(a_t, b_t, a_len, b_len, shift_flat, **kw)
 
 
 @functools.partial(
@@ -605,16 +760,25 @@ def fast_dovetail_batch_fused_idx(
 ):
     """Device-resident variant: reads stay on device ([N, L] codes plus
     their pack_reads_le words), per-pair operands are row-gathered from
-    int32 pair-index vectors, and the dove shift runs on packed words.
+    int32 pair-index vectors.  On TPU only the packed WORDS are gathered
+    (16x fewer elements) and the kernels unpack in VMEM; elsewhere the
+    code-plane scan path runs with the packed dove shift.
     Returns the OUT_KEYS-stacked [10, P] int32 result."""
     from sequence_aligner_tpu.ops.align_lax import stack_result
 
+    kw = dict(
+        cm_tuple=cm_tuple, gO=gO, gE=gE, min_identity=min_identity,
+        min_overlap=min_overlap, max_ignore=max_ignore,
+        la_max=la_max, lb_max=lb_max, width=width, pblk=pblk,
+    )
+    if not _interpret():
+        return stack_result(_fused_core_packed(
+            packed[a_idx].T, packed[b_idx].T,
+            lengths[a_idx], lengths[b_idx], **kw,
+        ))
     a_t = bases[a_idx].astype(jnp.int32).T
     b_t = bases[b_idx].astype(jnp.int32).T
     shift_fn = lambda ds: _dove_shift_packed(packed, a_idx, ds, la_max)
     return stack_result(_fused_core(
-        a_t, b_t, lengths[a_idx], lengths[b_idx], shift_fn,
-        cm_tuple=cm_tuple, gO=gO, gE=gE, min_identity=min_identity,
-        min_overlap=min_overlap, max_ignore=max_ignore,
-        la_max=la_max, lb_max=lb_max, width=width, pblk=pblk,
+        a_t, b_t, lengths[a_idx], lengths[b_idx], shift_fn, **kw,
     ))
