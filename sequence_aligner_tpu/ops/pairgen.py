@@ -133,6 +133,13 @@ def expand_raw_pairs(
 
     # middle-class rank -> table row
     mid_rows, mid_prefix, mid_total = _compact_indices(is_mid)
+    # rank-indexed middle operand tables: one table-sized gather here
+    # replaces a stream-sized gather (84M slots at 32k reads) per stream
+    if pack_den:
+        mid_pk = packed[mid_rows]
+    else:
+        mid_rid = rid[mid_rows]
+        mid_loc = loc[mid_rows]
     # prefix extended to length n+1 so counts in [l, r) index directly
     mid_pref_full = jnp.concatenate([mid_prefix, mid_total[None]])
     # per-row hash segment bounds (run-boundary fills over the sorted keys)
@@ -150,10 +157,6 @@ def expand_raw_pairs(
         # cummax-filling reproduces searchsorted_right(cum, t) for t < total
         # in two passes (vs ~20 gather passes for the unrolled search)
         pos = jnp.where((npairs > 0) & (excl < cap), excl, cap)
-        mark = jnp.full((cap + 1,), 0, jnp.int32).at[pos].max(
-            jnp.arange(n, dtype=jnp.int32)
-        )
-        ei = jax.lax.cummax(mark[:cap])
 
         def fill(vals):
             """Segment-broadcast of a per-row NONDECREASING value to the
@@ -164,22 +167,37 @@ def expand_raw_pairs(
                 )[:cap]
             )
 
-        run_start = fill(pos)  # = excl[ei]
+        def fill_any(vals):
+            """Segment-broadcast of an ARBITRARY positive value: scatter at
+            run starts, forward-fill with a last-nonzero associative scan
+            (a log-pass scan instead of a stream-sized random gather)."""
+            seeded = jnp.full((cap + 1,), 0, jnp.int32).at[pos].max(
+                jnp.where(pos < cap, vals, 0)
+            )[:cap]
+            return jax.lax.associative_scan(
+                lambda a, b: jnp.where(b == 0, a, b), seeded
+            )
+
+        run_start = fill(pos)
         mrank = fill(mid_base) + (t - run_start)  # mid_base is monotone
-        mrow = mid_rows[jnp.clip(mrank, 0, max(mid_rows.shape[0] - 1, 0))]
+        mrank = jnp.clip(mrank, 0, max(mid_rows.shape[0] - 1, 0))
         # every slot's source row has npairs > 0, hence is an edge row
         ok = t < total
         if pack_den:
-            a_pk = packed[ei]
-            b_pk = packed[mrow]
+            a_pk = fill_any(packed)  # packed = rid<<12|pos, rid >= 1 -> > 0
+            b_pk = mid_pk[mrank]
             a_id = a_pk >> _POS_BITS
             b_id = b_pk >> _POS_BITS
             a_first = (a_pk & ((1 << _POS_BITS) - 1)) > (
                 b_pk & ((1 << _POS_BITS) - 1)
             )
         else:
+            mark = jnp.full((cap + 1,), 0, jnp.int32).at[pos].max(
+                jnp.arange(n, dtype=jnp.int32)
+            )
+            ei = jax.lax.cummax(mark[:cap])
             a_id, a_loc = rid[ei], loc[ei]
-            b_id, b_loc = rid[mrow], loc[mrow]
+            b_id, b_loc = mid_rid[mrank], mid_loc[mrank]
             a_first = a_loc > b_loc  # strict-greater loc leads (:65-71)
         ok &= a_id != b_id  # self pairs skipped (src/KmerTable.scala:61-63)
         fst = jnp.where(a_first, a_id, b_id)
@@ -273,7 +291,7 @@ def plan_totals_device(occ_sorted, head_edge, tail_edge, mid_lead, mid_tail):
     jax.jit,
     static_argnames=(
         "cap_head", "cap_tail", "cap_out", "presorted", "packed_ids",
-        "pack_den",
+        "pack_den", "with_counts",
     ),
 )
 def candidate_pairs_stream(
@@ -291,6 +309,7 @@ def candidate_pairs_stream(
     presorted: bool = False,
     packed_ids: bool = False,
     pack_den: int = 0,
+    with_counts: bool = True,
 ):
     """Global-stream candidate generation (the single-chip fast path).
 
@@ -353,7 +372,26 @@ def candidate_pairs_stream(
     cnt = jnp.minimum(nxt, n) - start_fill  # exact at run-start positions
 
     keep = first & okv & (min_collisions <= cnt) & (cnt <= max_collisions)
-    lead, trail, ocnt, n_out = compact_pairs(fst2, snd2, cnt, keep, cap_out)
+    if packed_ids:
+        # ONE packed-key scatter (stream-sized random scatters run at
+        # gather rate, ~0.7 s each at 84M slots); lead/trail unpack from
+        # the compacted table with cheap elementwise ops
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        n_out = jnp.sum(keep.astype(jnp.int32))
+        slot = jnp.where(keep, pos, cap_out)
+        keyc = jnp.zeros((cap_out + 1,), jnp.int32).at[slot].set(
+            jnp.where(keep, key_s, 0)
+        )[:cap_out]
+        lead = keyc >> 16
+        trail = keyc & 0xFFFF
+        if with_counts:
+            ocnt = jnp.zeros((cap_out + 1,), jnp.int32).at[slot].set(
+                jnp.where(keep, cnt, 0)
+            )[:cap_out]
+        else:
+            ocnt = None
+    else:
+        lead, trail, ocnt, n_out = compact_pairs(fst2, snd2, cnt, keep, cap_out)
     overflow = (h_tot > cap_head) | (t_tot > cap_tail) | (n_out > cap_out)
     return dict(
         lead=lead, trail=trail, count=ocnt, n_out=n_out,
