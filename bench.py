@@ -9,6 +9,13 @@ records) on 32,000 x 100 bp reads (the golden bank's object count),
 timed after a warmup pass so compile time (remote-compile tunnel, cached
 persistently) is excluded — matching how a production service would run.
 
+Robustness (the round-2 artifact was an rc=124 timeout with no JSON):
+the bench ALWAYS emits its JSON line — SIGTERM/SIGINT (what ``timeout``
+sends) and an internal SIGALRM deadline flush the best measurement
+completed so far and exit 0.  If only the warmup pass finished, its
+(compile-inclusive, conservative) reads/s is reported with
+"partial": "warmup_only".
+
 Baseline: the reference Scala overlapper's large run — ~20 min wall clock
 for the c_ruddii pipeline (reference README:513-515), overlap-stage
 dominated => 32,000 reads / 1200 s = 26.7 reads/s.
@@ -16,6 +23,7 @@ dominated => 32,000 reads / 1200 s = 26.7 reads/s.
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -28,13 +36,53 @@ ERROR_RATE = float(os.environ.get("BENCH_ERROR_RATE", "0"))
 # instead of the c_ruddii shred (for assignment-scale runs, e.g.
 # BENCH_READS=100000 BENCH_SIM=8)
 SIM_COVERAGE = float(os.environ.get("BENCH_SIM", "0"))
+# self-imposed wall-clock deadline (s): flush whatever has been measured
+# and exit 0 well before any external `timeout` turns the run into rc=124
+DEADLINE_S = int(os.environ.get("BENCH_DEADLINE", "1380"))
+
+# progressively-updated best-known result; the signal handlers print it
+RESULT = {
+    "metric": "overlap_reads_per_sec_c_ruddii_32k",
+    "value": 0.0,
+    "unit": "reads/s",
+    "vs_baseline": 0.0,
+    "partial": "startup",
+}
+_FLUSHED = False
 
 
 def log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+def flush_result():
+    global _FLUSHED
+    if _FLUSHED:
+        return
+    _FLUSHED = True
+    print(json.dumps(RESULT), flush=True)
+
+
+def _on_signal(signum, frame):
+    log(f"signal {signum}: flushing best-known result and exiting")
+    flush_result()
+    os._exit(0)
+
+
+def _update(rps, stages, extra):
+    RESULT.update(
+        value=round(rps, 2),
+        vs_baseline=round(rps / BASELINE_READS_PER_S, 2),
+        stages_s=stages,
+        **extra,
+    )
+
+
 def main():
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+        signal.signal(sig, _on_signal)
+    signal.alarm(DEADLINE_S)
+
     import jax
 
     from sequence_aligner_tpu.utils.profiling import ensure_compile_cache
@@ -64,8 +112,15 @@ def main():
     t0 = time.time()
     ov = Overlapper(s)
     recs = ov.run(seqs)
-    log(f"warmup: {len(recs)} records in {time.time() - t0:.1f}s "
+    warm_t = time.time() - t0
+    log(f"warmup: {len(recs)} records in {warm_t:.1f}s "
         f"(includes compiles) stats={ov.stats}")
+    stages_w = {k: round(v, 3) for k, v in ov.timer.stages.items()}
+    _update(
+        len(seqs) / warm_t, stages_w,
+        dict(partial="warmup_only", n_records=len(recs),
+             n_candidate_pairs=ov.stats.n_alignments),
+    )
 
     # timed pass
     ov = Overlapper(s)
@@ -89,17 +144,22 @@ def main():
         f"{cells_s / 1e9:.2f}G cells/s (~{vpu_util * 100:.1f}% of v5e VPU peak "
         f"at ~12 int32 ops/cell)")
 
-    print(json.dumps({
-        "metric": "overlap_reads_per_sec_c_ruddii_32k",
-        "value": round(rps, 2),
-        "unit": "reads/s",
-        "vs_baseline": round(rps / BASELINE_READS_PER_S, 2),
-        "stages_s": stages,
-        "dp_cells_per_sec": round(cells_s),
-        "n_candidate_pairs": ov.stats.n_alignments,
-        "n_records": len(recs),
-    }))
+    RESULT.pop("partial", None)
+    _update(rps, stages, dict(
+        dp_cells_per_sec=round(cells_s),
+        n_candidate_pairs=ov.stats.n_alignments,
+        n_records=len(recs),
+    ))
+    signal.alarm(0)
+    flush_result()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # emit whatever was measured even on a crash
+        log(f"FATAL: {type(e).__name__}: {e}")
+        RESULT.setdefault("partial", "error")
+        RESULT["error"] = f"{type(e).__name__}: {e}"[:300]
+        flush_result()
+        raise

@@ -407,8 +407,11 @@ def main(argv: list[str] | None = None) -> int:
         from sequence_aligner_tpu.models.overlapper import Overlapper
 
         seqs = _read(o)
-        if act == "bench-align-quick":
-            seqs = seqs[: min(len(seqs), 64)]
+        # quick mode samples ~500 alignments off the full candidate stream
+        # — the intent of the reference's debugStop=500
+        # (src/Project4.scala:462-465; its aligns.size > debugStop gate is
+        # inverted and never aligns, so we implement the sampling intent)
+        sample = 500 if act == "bench-align-quick" else None
         configs = []
         for fd, algo in ((False, "quadratic"), (True, "linear")):
             for engine in ("oracle", "device"):
@@ -420,16 +423,37 @@ def main(argv: list[str] | None = None) -> int:
             try:
                 t0 = time.time()
                 if engine == "device":
-                    n = len(Overlapper(
+                    ov = Overlapper(
                         s, fast_dovetail=fd,
                         batch_size=(o.batch_size if block else 256),
-                    ).run(seqs))
+                    )
+                    if sample is None:
+                        n = len(ov.run(seqs))
+                    else:
+                        from sequence_aligner_tpu.ops.encode import (
+                            encode_reads,
+                        )
+
+                        bases, lengths = encode_reads(seqs)
+                        occ = ov._occurrences(bases, lengths)
+                        lead, trail = ov._candidates(occ, bases, lengths)
+                        lead, trail = lead[:sample], trail[:sample]
+                        res = ov._align(bases, lengths, lead, trail)
+                        n = int(res["valid"].sum())
                 else:
                     from sequence_aligner_tpu.oracle.overlap import (
-                        oracle_overlaps,
+                        oracle_alignments, oracle_overlaps,
                     )
 
-                    n = len(oracle_overlaps(seqs, s, fast_dovetail=fd))
+                    if sample is None:
+                        n = len(oracle_overlaps(seqs, s, fast_dovetail=fd))
+                    else:
+                        n = sum(
+                            r.valid(s) for r in oracle_alignments(
+                                seqs, s, fast_dovetail=fd,
+                                filter_valid=False, max_pairs=sample,
+                            )
+                        )
                 ms = int((time.time() - t0) * 1000)
                 print(f"\nCalculated {n} {name} alignments in "
                       f"{ms} milliseconds.\n")

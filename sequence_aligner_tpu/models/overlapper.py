@@ -41,8 +41,15 @@ from sequence_aligner_tpu.ops.align_lax import (
 from sequence_aligner_tpu.ops.encode import encode_reads
 from sequence_aligner_tpu.ops.kmer import kmer_scan
 from sequence_aligner_tpu.ops.pairgen import (
-    candidate_pairs_stream, plan_totals_device, sort_occurrences_jit,
+    candidate_pairs_stream, plan_totals, sort_occurrences_jit,
 )
+
+# Per-class raw-stream ceiling for the single-device engine: the expansion
+# indexes streams with int32 (and a 2^31-slot int32 stream is ~8.6 GB —
+# beyond one chip's HBM regardless).  _cap_at_least pads by <= 12.5%, so
+# stay 9/8 under 2^31.  Larger inputs must use the sharded engine
+# (parallel/shard.py), which splits the stream across devices.
+_MAX_STREAM = (2**31 - 1) * 8 // 9
 from sequence_aligner_tpu.utils.debug import debug_enabled, printdb
 from sequence_aligner_tpu.utils.timing import StageTimer
 
@@ -230,9 +237,15 @@ class Overlapper:
         # + re-execution of the giant sort program)
         occ_s = sort_occurrences_jit(occ)
         with self.timer.stage("pairgen.plan"):  # nested inside "pairgen"
-            h_tot, t_tot = plan_totals_device(occ_s, **geom)
-            h_tot, t_tot = int(h_tot), int(t_tot)
+            h_tot, t_tot = plan_totals(occ_s, **geom)
         printdb(f"pairgen plan: h_total={h_tot} t_total={t_tot}")
+        if max(h_tot, t_tot) > _MAX_STREAM:
+            raise RuntimeError(
+                f"raw candidate stream too large for one device "
+                f"(head={h_tot}, tail={t_tot}, max={_MAX_STREAM}): use the "
+                f"sharded engine (--engine sharded) or lower "
+                f"--max-collisions to cap repeat-rich k-mers"
+            )
         cap_head = _cap_at_least(h_tot, 1 << 14)
         cap_tail = _cap_at_least(t_tot, 1 << 14)
         out_bound = (h_tot + t_tot) // max(s.min_collisions, 1)
@@ -250,8 +263,17 @@ class Overlapper:
             )
             if not bool(out["overflow"]):
                 break
+            printdb(
+                f"pairgen: cap_out={cap_out} overflow — retrying at "
+                f"{cap_out * 2} (full recompile)"
+            )
             cap_out *= 2  # unreachable with the bound above; kept as a net
-        return out, int(out["n_out"])
+        n_out = int(out["n_out"])
+        # the packed-key scatter silently drops slots >= cap_out; the
+        # overflow flag must have caught that, but a wrong n_out here would
+        # mean silently missing overlaps — fail loudly instead
+        assert n_out <= cap_out, (n_out, cap_out)
+        return out, n_out
 
     def _candidates(
         self, occ, bases: np.ndarray = None, lengths: np.ndarray = None
@@ -317,6 +339,16 @@ class Overlapper:
             if cnt_h == 0:
                 continue
             bs = min(self.batch_size, _pow2_at_least(cnt_h, 256))
+            # dynamic_slice CLAMPS out-of-range starts: if the chunk grid
+            # ceil(cnt_h/bs)*bs overruns idx, the last chunk would silently
+            # re-read earlier slots (dropping tail pairs, duplicating
+            # earlier ones) — pad idx to the grid size first.  Padding
+            # slots index pair 0; in_range masks them invalid.
+            need = ((cnt_h + bs - 1) // bs) * bs
+            if need > int(idx.shape[0]):
+                idx = jnp.concatenate(
+                    [idx, jnp.zeros((need - int(idx.shape[0]),), jnp.int32)]
+                )
             for lo in range(0, cnt_h, bs):
                 chunks.append(_align_chunk(
                     bases_d, lengths_d, packed_d, lead_dev, trail_dev, idx,

@@ -479,15 +479,18 @@ def phase2_fused(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("la_max", "w", "gO", "gE", "cm_tuple", "pblk")
+    jax.jit,
+    static_argnames=("la_max", "w", "gO", "gE", "cm_tuple", "pblk", "interpret"),
 )
 def phase1_fused_packed(
-    aw_t, bw_t, a_len, *, la_max, w, gO, gE, cm_tuple, pblk=256
+    aw_t, bw_t, a_len, *, la_max, w, gO, gE, cm_tuple, pblk=256,
+    interpret=False,
 ):
     """Phase 1 from packed words ([wpr, P] int32 per operand, wpr =
     ceil(L/16)): operands unpack row-by-row inside the kernel, so the
     [la_max, P] code planes (and their 26M-element gathers per chunk)
-    never exist."""
+    never exist.  ``interpret=True`` runs the SAME kernel under the Pallas
+    interpreter so CPU CI covers the TPU kernel code."""
     p = aw_t.shape[1]
     wpr, wpr_b = aw_t.shape[0], bw_t.shape[0]
     kernel = functools.partial(
@@ -504,17 +507,20 @@ def phase1_fused_packed(
         ],
         out_specs=[_vec_spec(pblk)] * 5,
         out_shape=[_vec_shape(p)] * 5,
+        interpret=interpret,
     )(aw_t, bw_t, a_len[None, :])
     return tuple(o[0] for o in outs)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("la_max", "w", "zero_row", "gO", "gE", "cm_tuple", "pblk"),
+    static_argnames=(
+        "la_max", "w", "zero_row", "gO", "gE", "cm_tuple", "pblk", "interpret",
+    ),
 )
 def phase2_fused_packed(
     aw_t, bw_t, dove_start, dove_len, b_len, *,
-    la_max, w, zero_row, gO, gE, cm_tuple, pblk=256,
+    la_max, w, zero_row, gO, gE, cm_tuple, pblk=256, interpret=False,
 ):
     """Phase 2 from packed words with the in-kernel dove shift."""
     p = aw_t.shape[1]
@@ -536,6 +542,7 @@ def phase2_fused_packed(
         out_specs=[_vec_spec(pblk)] * 7,
         out_shape=[_vec_shape(p)] * 7,
         scratch_shapes=[pltpu.VMEM((wpr, pblk), jnp.int32)],
+        interpret=interpret,
     )(
         aw_t, bw_t, dove_start[None, :], dove_len[None, :], b_len[None, :]
     )
@@ -633,22 +640,23 @@ def _fused_core(
 def _fused_core_packed(
     aw_t, bw_t, a_len, b_len, *,
     cm_tuple, gO, gE, min_identity, min_overlap, max_ignore,
-    la_max: int, lb_max: int, width: int, pblk: int,
+    la_max: int, lb_max: int, width: int, pblk: int, interpret: bool = False,
 ):
     """Packed-word body of the fused dovetail (the TPU path): operands
     are [wpr, P] int32 word planes; both phases and the dove shift run
-    inside the Pallas kernels."""
+    inside the Pallas kernels.  ``interpret=True`` runs the kernels under
+    the Pallas interpreter (CPU CI parity coverage of the TPU path)."""
     w = width
     p1 = phase1_fused_packed(
         aw_t, bw_t, a_len, la_max=la_max, w=w, gO=gO, gE=gE,
-        cm_tuple=cm_tuple, pblk=pblk,
+        cm_tuple=cm_tuple, pblk=pblk, interpret=interpret,
     )
 
     def run_phase2(dove_start, dove_len):
         return phase2_fused_packed(
             aw_t, bw_t, dove_start, dove_len, b_len,
             la_max=la_max, w=w, zero_row=w // 2, gO=gO, gE=gE,
-            cm_tuple=cm_tuple, pblk=pblk,
+            cm_tuple=cm_tuple, pblk=pblk, interpret=interpret,
         )
 
     return _dovetail_glue(

@@ -261,6 +261,29 @@ def sort_occurrences_jit(occ):
     return sort_occurrences(occ)
 
 
+_SUM_CHUNK = 1 << 15
+
+
+def _chunk_hi_lo_sums(vals):
+    """Overflow-safe total of an int32 array whose elements are in
+    [0, 2^31): per-chunk sums of the low 15 and high 16 bits separately.
+
+    With chunk size 2^15, sum(lo) < 2^30 and sum(hi) <= (2^16-1)*2^15
+    < 2^31, so every partial fits int32 EXACTLY without x64.  The true
+    total (which may exceed int32/int53) is recombined on the host from
+    the [m]-sized partials with Python integers — see ``plan_totals``.
+    """
+    n = vals.shape[0]
+    m = max((n + _SUM_CHUNK - 1) // _SUM_CHUNK, 1)
+    pad = m * _SUM_CHUNK - n
+    if pad:
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), jnp.int32)])
+    v = vals.reshape(m, _SUM_CHUNK)
+    lo = jnp.sum(v & (_SUM_CHUNK - 1), axis=1)
+    hi = jnp.sum(v >> 15, axis=1)
+    return hi, lo
+
+
 @jax.jit
 def plan_totals_device(occ_sorted, head_edge, tail_edge, mid_lead, mid_tail):
     """Exact raw head x middle / tail x middle cross-product totals,
@@ -269,8 +292,11 @@ def plan_totals_device(occ_sorted, head_edge, tail_edge, mid_lead, mid_tail):
     Replaces round-1's host NumPy plan (which re-hashed every read on
     host, an O(N*L log) bottleneck at scale): the per-kmer role counts
     fall out of the same segment bounds the stream itself uses, and only
-    two scalars come back to the host.  Mirrors calcPairData's pair-count accounting
-    (src/KmerTable.scala:105-128).
+    small per-chunk partial-sum arrays come back to the host.  Totals can
+    exceed int32 on repeat-rich data (the round-2 version silently
+    wrapped there), so the reduction is split into hi/lo chunk partials
+    (``_chunk_hi_lo_sums``) recombined exactly on host.  Mirrors
+    calcPairData's pair-count accounting (src/KmerTable.scala:105-128).
     """
     h = occ_sorted["hash"]
     loc = occ_sorted["loc"]
@@ -281,9 +307,23 @@ def plan_totals_device(occ_sorted, head_edge, tail_edge, mid_lead, mid_tail):
     _, mid_prefix, mid_total = _compact_indices(is_mid, cap=1)
     mid_pref_full = jnp.concatenate([mid_prefix, mid_total[None]])
     seg_l, seg_r = _run_bounds(h)
-    mid_cnt = (mid_pref_full[seg_r] - mid_pref_full[seg_l]).astype(jnp.int64)
-    h_total = jnp.sum(jnp.where(is_head, mid_cnt, 0))
-    t_total = jnp.sum(jnp.where(is_tail, mid_cnt, 0))
+    mid_cnt = mid_pref_full[seg_r] - mid_pref_full[seg_l]
+    h_hi, h_lo = _chunk_hi_lo_sums(jnp.where(is_head, mid_cnt, 0))
+    t_hi, t_lo = _chunk_hi_lo_sums(jnp.where(is_tail, mid_cnt, 0))
+    return h_hi, h_lo, t_hi, t_lo
+
+
+def plan_totals(occ_sorted, **geom) -> tuple[int, int]:
+    """Host wrapper: exact (h_total, t_total) as Python ints (arbitrary
+    precision — immune to the int32/x64 truncation of naive device sums)."""
+    import numpy as np
+
+    h_hi, h_lo, t_hi, t_lo = (
+        np.asarray(x, dtype=np.int64)
+        for x in plan_totals_device(occ_sorted, **geom)
+    )
+    h_total = (int(h_hi.sum()) << 15) + int(h_lo.sum())
+    t_total = (int(t_hi.sum()) << 15) + int(t_lo.sum())
     return h_total, t_total
 
 

@@ -29,13 +29,22 @@ def oracle_alignments(
     *,
     fast_dovetail: bool = True,
     filter_valid: bool = True,
+    max_pairs: int | None = None,
 ) -> list[AlignmentResult]:
-    """Candidate generation + per-pair DP, canonically ordered."""
+    """Candidate generation + per-pair DP, canonically ordered.
+
+    ``max_pairs`` samples only the first N candidate pairs — the intent of
+    the reference's ``debugStop = 500`` quick-bench mode
+    (src/Project4.scala:462-465; its gate ``aligns.size > debugStop`` at
+    :611 is inverted and never fires, so we implement the documented
+    sampling intent rather than the no-op)."""
     table = build_table(seqs, s)
     by_id = {q.id: q for q in seqs}
     align = fast_dovetail_alignment if fast_dovetail else local_alignment
     out = []
     for i, (a, b) in enumerate(table.candidate_pairs(s)):
+        if max_pairs is not None and i >= max_pairs:
+            break
         # --debug progress prints, like the reference's per-N heartbeats
         # in its alignment loops (src/Project4.scala:654-664)
         heartbeat(i, 1000, f" Aligned {i} pairs...")

@@ -335,3 +335,143 @@ def test_fused_dovetail_matches_oracle():
         want = (*o.start, *o.end, o.correct, o.error, o.align_len)
         assert got == want, (a, b, got, want)
         assert bool(res["align_valid"][n]) == o.valid(s), (a, b)
+
+
+def test_plan_totals_exact_past_int32():
+    """Repeat-rich totals exceed int32: one hash shared by 2^16 occurrences
+    with geometry making every row head+mid+tail gives raw totals of
+    exactly 2^32 — the round-2 device sum silently wrapped here (the
+    .astype(int64) was a no-op without x64)."""
+    from sequence_aligner_tpu.ops.pairgen import plan_totals
+
+    n = 1 << 16
+    occ = dict(
+        hash=jnp.zeros((n,), jnp.int32),
+        read_id=jnp.arange(1, n + 1, dtype=jnp.int32),
+        loc=jnp.full((n,), 0.5, jnp.float32),
+        valid=jnp.ones((n,), bool),
+    )
+    h_tot, t_tot = plan_totals(
+        occ,
+        head_edge=jnp.float32(1.0), tail_edge=jnp.float32(0.0),
+        mid_lead=jnp.float32(0.0), mid_tail=jnp.float32(1.0),
+    )
+    assert h_tot == n * n  # 2^32 > int32 max
+    assert t_tot == n * n
+
+
+def test_plan_totals_matches_small_case(crp_seqs):
+    """The chunked hi/lo plan agrees with a direct NumPy computation on
+    real data (regression for the recombination arithmetic)."""
+    from sequence_aligner_tpu.ops.pairgen import (
+        plan_totals, sort_occurrences_jit,
+    )
+
+    s = AlignSettings.amos_parity()
+    ov = Overlapper(s)
+    bases, lengths = encode_reads(crp_seqs)
+    occ = ov._occurrences(bases, lengths)
+    occ_s = sort_occurrences_jit(occ)
+    geom = dict(
+        head_edge=jnp.float32(s.kmer_head_edge),
+        tail_edge=jnp.float32(s.kmer_tail_edge),
+        mid_lead=jnp.float32(s.kmer_mid_lead_edge),
+        mid_tail=jnp.float32(s.kmer_mid_tail_edge),
+    )
+    h_tot, t_tot = plan_totals(occ_s, **geom)
+    h = np.asarray(occ_s["hash"])
+    loc = np.asarray(occ_s["loc"])
+    valid = np.asarray(occ_s["valid"]) & (h != 2**31 - 1)
+    want_h = want_t = 0
+    for hv in np.unique(h[valid]):
+        m = valid & (h == hv)
+        n_mid = int(((loc[m] >= s.kmer_mid_lead_edge)
+                     & (loc[m] <= s.kmer_mid_tail_edge)).sum())
+        want_h += int((loc[m] <= s.kmer_head_edge).sum()) * n_mid
+        want_t += int((loc[m] >= s.kmer_tail_edge).sum()) * n_mid
+    assert (h_tot, t_tot) == (want_h, want_t)
+
+
+def _align_device_vs_host(n_pairs, cap, batch_size, seed=21):
+    """Drive _align_device at an exact (n_pairs, capacity, batch) geometry
+    and cross-check the valid set against the host _align path."""
+    rng = np.random.RandomState(seed)
+    seqs = _random_reads(rng, 40, 100)
+    bases, lengths = encode_reads(seqs)
+    all_pairs = [(a, b) for a in range(1, 41) for b in range(1, 41) if a != b]
+    rng.shuffle(all_pairs)
+    pairs = (all_pairs * (n_pairs // len(all_pairs) + 1))[:n_pairs]
+    lead = np.asarray([a for a, _ in pairs], np.int32)
+    trail = np.asarray([b for _, b in pairs], np.int32)
+    s = AlignSettings()
+    ov = Overlapper(s, batch_size=batch_size)
+    lead_dev = jnp.asarray(np.pad(lead, (0, cap - n_pairs)))
+    trail_dev = jnp.asarray(np.pad(trail, (0, cap - n_pairs)))
+    got = ov._align_device(bases, lengths, lead_dev, trail_dev, n_pairs)
+    ref = Overlapper(s)._align(bases, lengths, lead, trail)
+    vm = ref["valid"]
+    want = sorted(zip(
+        lead[vm].tolist(), trail[vm].tolist(),
+        ref["ahg"][vm].tolist(), ref["bhg"][vm].tolist(),
+    ))
+    assert sorted(zip(*(c.tolist() for c in got))) == want
+    assert len(want) > 0  # the scenario must actually exercise valid pairs
+
+
+def test_align_device_chunk_grid_overrun():
+    """cnt just over a batch multiple while the pair table's capacity sits
+    below the chunk grid: ceil(768/512)*512 = 1024 > cap 768.  Without
+    idx padding, dynamic_slice clamps the last chunk's start and pairs
+    512..767 are silently dropped while 256..511 duplicate (the round-2
+    advisor's high-severity finding)."""
+    _align_device_vs_host(n_pairs=768, cap=768, batch_size=512)
+
+
+def test_align_device_at_exact_capacity():
+    """n_pairs == cap == batch_size boundary."""
+    _align_device_vs_host(n_pairs=512, cap=512, batch_size=512)
+
+
+def test_align_device_one_over_batch():
+    """n_pairs == batch_size + 1 with ample capacity."""
+    _align_device_vs_host(n_pairs=257, cap=1024, batch_size=256)
+
+
+def test_packed_kernels_interpret_parity():
+    """The TPU packed-word Pallas kernels, run under the Pallas
+    interpreter on CPU, agree with the lax.scan formulation on every
+    output — so CPU CI exercises the same kernel code the TPU runs."""
+    from sequence_aligner_tpu.ops.align_fused import (
+        _fused_core_packed, fast_dovetail_batch_fused, pack_reads_le,
+    )
+
+    rng = np.random.RandomState(13)
+    seqs = _random_reads(rng, 16, 100)
+    pairs = [(a, b) for a in range(1, 17) for b in range(1, 17) if a != b]
+    rng.shuffle(pairs)
+    pairs = pairs[:64]
+    s = AlignSettings()
+    bases, lengths = encode_reads(seqs)
+    a_idx = np.asarray([a - 1 for a, _ in pairs])
+    b_idx = np.asarray([b - 1 for _, b in pairs])
+    kw = dict(
+        cm_tuple=tuple(int(x) for x in s.cost_matrix.reshape(-1)),
+        gO=s.gap_open, gE=s.gap_extend,
+        min_identity=jnp.float32(s.min_identity),
+        min_overlap=jnp.int32(s.min_overlap),
+        max_ignore=jnp.int32(s.max_ignore),
+        la_max=bases.shape[1], lb_max=bases.shape[1],
+        width=s.band_width(int(lengths[a_idx].max())), pblk=64,
+    )
+    aw_t = pack_reads_le(jnp.asarray(bases[a_idx])).T
+    bw_t = pack_reads_le(jnp.asarray(bases[b_idx])).T
+    got = _fused_core_packed(
+        aw_t, bw_t, jnp.asarray(lengths[a_idx]), jnp.asarray(lengths[b_idx]),
+        interpret=True, **kw,
+    )
+    want = fast_dovetail_batch_fused(
+        jnp.asarray(bases[a_idx]), jnp.asarray(lengths[a_idx]),
+        jnp.asarray(bases[b_idx]), jnp.asarray(lengths[b_idx]), **kw,
+    )
+    for k in want:
+        assert np.array_equal(np.asarray(got[k]), np.asarray(want[k])), k
