@@ -159,6 +159,14 @@ def _align_chunk(
     ).T
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _stream_update(buf, chunk, lo):
+    """Write one encoded chunk into the device-resident read matrix.
+    Donation makes this an in-place update on TPU: assembling an [N, L]
+    matrix from chunks costs O(N) total, not O(N^2 / chunk)."""
+    return jax.lax.dynamic_update_slice(buf, chunk, (lo, jnp.int32(0)))
+
+
 @jax.jit
 def _count_valid(stacked):
     return jnp.sum((stacked[:, 9] > 0).astype(jnp.int32))
@@ -437,13 +445,54 @@ class Overlapper:
             else:
                 bases, lengths = encode_reads(path_or_seqs)
                 n_input = len(path_or_seqs)
-            self.stats.n_reads = n_input
             # pad the read count to a power-of-two tier so device programs
             # compile once per (N_tier, L) shape family
             n_tier = _pow2_at_least(n_input, 256)
             if n_tier > n_input:
                 bases = np.pad(bases, ((0, n_tier - n_input), (0, 0)))
                 lengths = np.pad(lengths, (0, n_tier - n_input))
+        return self._run_encoded(bases, lengths, n_input)
+
+    def run_stream(
+        self, path: str, *, chunk_reads: int = 1 << 15
+    ) -> list[OverlapRecord]:
+        """Streamed variant of ``run``: the read matrix is assembled on
+        DEVICE chunk by chunk (donated dynamic_update_slice), so peak host
+        memory is O(chunk_reads * l_max) regardless of input size and
+        uploads overlap with host parsing of the next chunk (JAX dispatch
+        is async).  Output is identical to ``run(path)``.
+
+        SURVEY.md §2.5 pipeline row: the overlap stage's host input
+        pipeline feeding device batches."""
+        from sequence_aligner_tpu.io.stream import (
+            fasta_scan, iter_encoded_chunks,
+        )
+
+        with self.timer.stage("encode"):
+            n_input, l_max = fasta_scan(path)
+            n_tier = _pow2_at_least(max(n_input, 1), 256)
+            chunk_reads = min(chunk_reads, n_tier)
+            buf = jnp.zeros((n_tier, max(l_max, 1)), jnp.int8)
+            lengths = np.zeros(n_tier, np.int32)
+            lo = 0
+            for bases_c, lens_c in iter_encoded_chunks(
+                path, chunk_reads, l_max
+            ):
+                m = bases_c.shape[0]
+                if m < chunk_reads:  # pad the tail chunk: one compile
+                    bases_c = np.pad(bases_c, ((0, chunk_reads - m), (0, 0)))
+                buf = _stream_update(buf, jnp.asarray(bases_c), jnp.int32(lo))
+                lengths[lo : lo + m] = lens_c
+                lo += m
+            assert lo == n_input, (lo, n_input)
+        return self._run_encoded(buf, lengths, n_input)
+
+    def _run_encoded(
+        self, bases, lengths: np.ndarray, n_input: int
+    ) -> list[OverlapRecord]:
+        """Post-encode stages; ``bases`` may be a host or device array of
+        the padded [n_tier, L] read codes, ``lengths`` the host lengths."""
+        self.stats.n_reads = n_input
         with self.timer.stage("kmer"):
             occ = self._occurrences(bases, lengths)
             self.stats.n_kmers = int(np.asarray(occ["valid"]).sum())

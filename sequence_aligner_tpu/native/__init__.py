@@ -61,6 +61,15 @@ def get_lib():
             ctypes.c_int64,
             ctypes.c_int64,
         ]
+        lib.fasta_encode_chunk.restype = ctypes.c_int64
+        lib.fasta_encode_chunk.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
         lib.ovl_write.restype = ctypes.c_int64
         lib.ovl_write.argtypes = [
             ctypes.c_char_p,
@@ -98,6 +107,48 @@ def fasta_encode_native(path: str):
     if got != n.value:
         return None
     return bases, lengths
+
+
+def fasta_scan_native(path: str):
+    """-> (n_reads, max_len) or None if the native library is unavailable.
+    Raises ValueError on an invalid sequence file (missing leading '>')."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = ctypes.c_int64()
+    mx = ctypes.c_int64()
+    rc = lib.fasta_scan(path.encode(), ctypes.byref(n), ctypes.byref(mx))
+    if rc == -2:
+        raise ValueError(f"Invalid Sequence File: {path}")
+    if rc != 0:
+        return None
+    return int(n.value), int(mx.value)
+
+
+def fasta_encode_chunks_native(path: str, chunk_reads: int, l_max: int):
+    """Generator of (bases int8 [m, l_max], lengths int32 [m]) chunks in
+    file order; host memory O(chunk_reads * l_max).  Yields nothing if
+    the native library is unavailable (caller falls back)."""
+    lib = get_lib()
+    if lib is None:
+        return
+    off = ctypes.c_int64(0)
+    while True:
+        bases = np.zeros((chunk_reads, l_max), dtype=np.int8)
+        lengths = np.zeros(chunk_reads, dtype=np.int32)
+        got = lib.fasta_encode_chunk(
+            path.encode(), ctypes.byref(off),
+            bases.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            chunk_reads, l_max,
+        )
+        if got < 0:
+            raise ValueError(f"Invalid Sequence File: {path}")
+        if got == 0:
+            return
+        yield bases[:got], lengths[:got]
+        if got < chunk_reads:
+            return
 
 
 def ovl_write_native(path: str, ida, idb, ahg, bhg) -> int | None:

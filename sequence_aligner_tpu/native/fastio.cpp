@@ -127,6 +127,59 @@ int64_t fasta_encode(const char* path, int8_t* bases, int32_t* lengths,
   return rec + 1;
 }
 
+// Chunked pass 2 for the streamed input pipeline: starting at byte
+// offset *off (0 or a value this function returned — always a record
+// start), encode up to max_reads records into bases [max_reads, lmax] /
+// lengths, advance *off to the next unread record (or file size), and
+// return the number of records encoded (0 = end of file, -1 = error).
+// Host memory stays O(max_reads * lmax) regardless of file size; the
+// mmap window rides the page cache across calls.
+int64_t fasta_encode_chunk(const char* path, int64_t* off, int8_t* bases,
+                           int32_t* lengths, int64_t max_reads,
+                           int64_t lmax) {
+  MappedFile f(path);
+  if (!f.ok()) return -1;
+  size_t i = static_cast<size_t>(*off);
+  if (i >= f.size) {
+    *off = static_cast<int64_t>(f.size);
+    return 0;
+  }
+  if (f.data[i] != '>') return -1;
+  int64_t rec = -1;
+  int64_t cur = 0;
+  bool in_header = false;
+  char prev = '\n';
+  for (; i < f.size; ++i) {
+    char c = f.data[i];
+    if (c == '>' && prev == '\n') {
+      if (rec >= 0) {
+        lengths[rec] = static_cast<int32_t>(cur);
+        for (int64_t j = cur; j < lmax; ++j) bases[rec * lmax + j] = 0;
+      }
+      if (rec + 1 == max_reads) {
+        *off = static_cast<int64_t>(i);
+        return max_reads;
+      }
+      ++rec;
+      cur = 0;
+      in_header = true;
+    } else if (c == '\n') {
+      in_header = false;
+    } else if (!in_header && c != '\r') {
+      if (cur < lmax && rec >= 0)
+        bases[rec * lmax + cur] = kCode[static_cast<unsigned char>(c)];
+      ++cur;
+    }
+    prev = c;
+  }
+  if (rec >= 0) {
+    lengths[rec] = static_cast<int32_t>(cur);
+    for (int64_t j = cur; j < lmax; ++j) bases[rec * lmax + j] = 0;
+  }
+  *off = static_cast<int64_t>(f.size);
+  return rec + 1;
+}
+
 // Render n {OVL} records (src/ObjectStore.scala:127-135 text shape) into
 // the file at path.  Returns bytes written or -1.
 int64_t ovl_write(const char* path, const int32_t* ida, const int32_t* idb,

@@ -41,7 +41,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from sequence_aligner_tpu.core.settings import AlignSettings
 from sequence_aligner_tpu.ops.kmer import kmer_scan
 from sequence_aligner_tpu.ops.pairgen import (
-    aggregate_pairs, compact_pairs, expand_raw_pairs, sort_occurrences,
+    _compact_indices, aggregate_pairs, compact_pairs, expand_raw_pairs,
+    sort_occurrences,
 )
 
 
@@ -144,18 +145,31 @@ def make_sharded_overlap_step(
     cap_agg: int,
     cap_pair_route: int,
     cap_out: int,
+    cap_width: tuple[int, ...] | None = None,
     axis: str = "shard",
+    stop_after: str | None = None,
 ):
     """Build the jitted sharded step.
 
-    widths: the host-known set of band widths present in the input (one
-    fused-alignment pass per width; usually a single element).
+    widths: the host-known set of band widths present in the input.  With
+    one width the align pass runs directly over the [cap_out] pair table;
+    with several, pairs are COMPACTED per width into [cap_width[i]]
+    buckets first, so total DP work is O(pairs), not O(widths x cap_out)
+    (bucket overflows are counted and drive the driver's retry).
+
+    stop_after ∈ {"kmer", "pairs", "agg", None}: truncate the step after
+    that stage and return a tiny per-device sink array instead — the
+    sharded bench harness times these truncated programs to attribute
+    wall-clock to stages (a single fused program can't be timed from the
+    host mid-flight).
 
     Returns fn(bases [N, la_max] int8, lengths [N] int32, ids [N] int32)
     -> tuple of [n_dev * cap_out] OVL fields + drop counters, where N must
     be divisible by the mesh size.
     """
     n_dev = mesh.shape[axis]
+    if cap_width is None:
+        cap_width = tuple(cap_out for _ in widths)
     geom = dict(
         head_edge=jnp.float32(s.kmer_head_edge),
         tail_edge=jnp.float32(s.kmer_tail_edge),
@@ -169,40 +183,73 @@ def make_sharded_overlap_step(
         [s.band_width(l) for l in range(la_max + 1)], np.int32
     )
 
-    def _align_bucketed(lead, trail, a_rows, a_lens, b_rows, b_lens):
-        """One fused pass per band width; per-pair result selected from
-        the pass matching its lead read's width."""
-        kw = dict(
-            gO=s.gap_open, gE=s.gap_extend,
-            min_identity=jnp.float32(s.min_identity),
-            min_overlap=jnp.int32(s.min_overlap),
-            max_ignore=jnp.int32(s.max_ignore),
-            la_max=la_max, lb_max=la_max,
-        )
+    _align_kw = dict(
+        cm_tuple=tuple(int(x) for x in s.cost_matrix.reshape(-1)),
+        gO=s.gap_open, gE=s.gap_extend,
+        min_identity=jnp.float32(s.min_identity),
+        min_overlap=jnp.int32(s.min_overlap),
+        max_ignore=jnp.int32(s.max_ignore),
+        la_max=la_max, lb_max=la_max,
+    )
+
+    def _align_bucketed(out_valid, a_rows, a_lens, b_rows, b_lens):
+        """Width-bucketed alignment: pairs are compacted per band width
+        and each width's fused pass runs over ONLY its own bucket
+        ([cap_width[i]]), results scattered back to the [cap_out] table.
+        Returns (res fields dict, bucket-overflow drop count).  A single
+        width skips the bucketing entirely."""
         from sequence_aligner_tpu.ops.align_fused import (
             fast_dovetail_batch_fused,
         )
 
+        if len(widths) == 1:
+            res = fast_dovetail_batch_fused(
+                a_rows, a_lens, b_rows, b_lens,
+                width=int(widths[0]), **_align_kw,
+            )
+            return res, jnp.int32(0)
+
         pw = wtab[jnp.clip(a_lens, 0, la_max)]
         res = None
-        for w in widths:
+        drop_w = jnp.int32(0)
+        for w, cw in zip(widths, cap_width):
+            mask = out_valid & (pw == w)
+            rows_idx, _, total = _compact_indices(mask, cap=cw)
             r = fast_dovetail_batch_fused(
-                a_rows, a_lens, b_rows, b_lens,
-                cm_tuple=tuple(int(x) for x in s.cost_matrix.reshape(-1)),
-                width=int(w), **kw,
+                a_rows[rows_idx], a_lens[rows_idx],
+                b_rows[rows_idx], b_lens[rows_idx],
+                width=int(w), **_align_kw,
             )
+            # scatter this bucket's results back; slots past the bucket's
+            # fill go to the waste row so they can't clobber pair 0
+            ok_slots = jnp.arange(cw, dtype=jnp.int32) < total
+            tgt = jnp.where(ok_slots, rows_idx, cap_out)
             if res is None:
-                res = r
-            else:
-                take = pw == w
-                res = {k: jnp.where(take, r[k], res[k]) for k in r}
-        return res
+                res = {
+                    k: jnp.zeros((cap_out + 1,), v.dtype) for k, v in r.items()
+                }
+            for k, v in r.items():
+                res[k] = res[k].at[tgt].set(
+                    jnp.where(ok_slots, v, jnp.zeros((), v.dtype))
+                )
+            drop_w += jnp.maximum(total - cw, 0)
+        return {k: v[:cap_out] for k, v in res.items()}, drop_w
+
+    def _sink(*arrs):
+        """[1] int32 per device depending on every input (keeps truncated
+        stage programs from dead-code-eliminating the work being timed)."""
+        acc = jnp.int32(0)
+        for a in arrs:
+            acc += jnp.sum(a.astype(jnp.int32))
+        return acc[None]
 
     def step(bases, lengths, ids):
         n_local = bases.shape[0]
 
         # ---- 1. local k-mers ----
         occ = kmer_scan(bases, lengths, ids, s.kmer_size)
+        if stop_after == "kmer":
+            return _sink(occ["hash"], occ["read_id"], occ["valid"])
 
         # ---- 2. hash-prefix all-to-all ----
         tgt = (occ["hash"].astype(jnp.uint32) % jnp.uint32(n_dev)).astype(jnp.int32)
@@ -217,6 +264,8 @@ def make_sharded_overlap_step(
             loc=recv["loc"].reshape(-1),
             valid=recv["_sent"].reshape(-1),
         )
+        if stop_after == "route":
+            return _sink(occ2["hash"], occ2["read_id"], occ2["valid"])
 
         # ---- 3. raw pair expansion on complete hash groups ----
         fst, snd, ok, h_tot, t_tot = expand_raw_pairs(
@@ -253,6 +302,8 @@ def make_sharded_overlap_step(
         lead, trail, _, n_out = compact_pairs(gfst, gsnd, gcnt, keep, cap_out)
         out_valid = jnp.arange(cap_out, dtype=jnp.int32) < n_out
         out_overflow = (n_out > cap_out).astype(jnp.int32)
+        if stop_after == "pairs":
+            return _sink(lead, trail, n_out)
 
         # ---- 6. fetch ONLY the needed read rows, then align ----
         need = jnp.concatenate([
@@ -263,12 +314,16 @@ def make_sharded_overlap_step(
         )
         a_rows, b_rows = rows[:cap_out], rows[cap_out:]
         a_lens, b_lens = lens[:cap_out], lens[cap_out:]
-        res = _align_bucketed(lead, trail, a_rows, a_lens, b_rows, b_lens)
+        if stop_after == "fetch":
+            return _sink(a_rows, b_rows, a_lens, b_lens)
+        res, drop_width = _align_bucketed(
+            out_valid, a_rows, a_lens, b_rows, b_lens
+        )
         valid = res["valid"] & out_valid
         drops = jnp.stack(
             [
                 drop_kmer, drop_pairs, pair_overflow, agg_overflow,
-                out_overflow, drop_req,
+                out_overflow, drop_req, drop_width,
             ]
         )
         return (
@@ -277,14 +332,14 @@ def make_sharded_overlap_step(
             jnp.where(out_valid, trail, 0),
             res["ahg"],
             res["bhg"],
-            drops[None, :],  # [1, 6] per device -> [n_dev, 6] global
+            drops[None, :],  # [1, 7] per device -> [n_dev, 7] global
         )
 
     sharded = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis) if stop_after else (P(axis),) * 6,
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -293,7 +348,7 @@ def make_sharded_overlap_step(
 # drop-counter index -> capacities to double on retry
 _DROP_CAPS = (
     ("cap_route",), ("cap_pair_route",), ("cap_head", "cap_tail"),
-    ("cap_agg",), ("cap_out",), ("cap_out",),
+    ("cap_agg",), ("cap_out",), ("cap_out",), ("cap_width",),
 )
 
 
@@ -335,6 +390,17 @@ def sharded_overlap(
     caps.setdefault("cap_agg", 1 << 18)
     caps.setdefault("cap_pair_route", max(4096, caps["cap_agg"] // max(n_dev // 2, 1)))
     caps.setdefault("cap_out", 1 << 16)
+    if len(widths) > 1 and "cap_width" not in caps:
+        # initial per-width bucket capacity ~ the width class's share of
+        # reads (x2 slack), rounded to the Pallas lane-block multiple
+        wcounts = {w: 0 for w in widths}
+        for x in lengths[:n]:
+            wcounts[s.band_width(int(x))] += 1
+        caps["cap_width"] = tuple(
+            max(1024, -(-2 * caps["cap_out"] * wcounts[w] // max(n, 1) // 256)
+                * 256)
+            for w in widths
+        )
 
     multiproc = jax.process_count() > 1
     if multiproc:
@@ -364,13 +430,16 @@ def sharded_overlap(
         valid, lead, trail, ahg, bhg, drops = step(
             to_dev(bases), to_dev(lengths), to_dev(ids)
         )
-        drops = to_host(drops).sum(axis=0)  # [6] summed over devices
+        drops = to_host(drops).sum(axis=0)  # [7] summed over devices
         if drops.sum() == 0:
             break
         for i, capnames in enumerate(_DROP_CAPS):
             if drops[i] > 0:
                 for name in capnames:
-                    caps[name] *= 2
+                    if isinstance(caps.get(name), tuple):
+                        caps[name] = tuple(2 * c for c in caps[name])
+                    else:
+                        caps[name] *= 2
     valid = to_host(valid)
     lead, trail = to_host(lead), to_host(trail)
     ahg, bhg = to_host(ahg), to_host(bhg)

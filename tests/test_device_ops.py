@@ -475,3 +475,14 @@ def test_packed_kernels_interpret_parity():
     )
     for k in want:
         assert np.array_equal(np.asarray(got[k]), np.asarray(want[k])), k
+
+
+def test_run_stream_matches_run_golden():
+    """The streamed input pipeline (chunked device-side assembly) is
+    byte-identical to the one-shot path on the golden dataset, across
+    multiple chunks plus a ragged tail."""
+    ov = Overlapper(AlignSettings.amos_parity())
+    recs = ov.run_stream("/root/reference/amos/small/crp177.seq",
+                         chunk_reads=64)
+    ours = "".join(r.render() + "\n" for r in recs)
+    assert ours == open("/root/reference/amos/small/crp177.ovl").read()

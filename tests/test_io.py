@@ -58,3 +58,29 @@ def test_ovl_roundtrip(tmp_path, golden_records):
     assert records_equal(back, golden_records)
     # golden fixture is already canonically sorted; round-trip is exact bytes
     assert p.read_text() == open(CRP_OVL).read()
+
+
+def test_stream_scan_and_chunks_native_python_parity():
+    """Native mmap chunked encoder and the pure-Python fallback produce
+    identical chunk streams, and the scan agrees with read_fasta."""
+    import numpy as np
+
+    from sequence_aligner_tpu.io.fasta import read_fasta
+    from sequence_aligner_tpu.io.stream import fasta_scan, iter_encoded_chunks
+
+    path = "/root/reference/amos/small/crp177.seq"
+    n, l_max = fasta_scan(path)
+    seqs = read_fasta(path)
+    assert n == len(seqs)
+    assert l_max == max(len(q.seq) for q in seqs)
+    for native_ok in (True, False):
+        chunks = list(iter_encoded_chunks(path, 50, l_max, native_ok=native_ok))
+        assert sum(c[0].shape[0] for c in chunks) == n
+        assert chunks[-1][0].shape[0] == n % 50 or n % 50 == 0
+        got_b = np.concatenate([c[0] for c in chunks])
+        got_l = np.concatenate([c[1] for c in chunks])
+        from sequence_aligner_tpu.ops.encode import encode_reads
+
+        want_b, want_l = encode_reads(seqs, l_max=l_max)
+        assert np.array_equal(got_l, want_l), native_ok
+        assert np.array_equal(got_b, want_b), native_ok

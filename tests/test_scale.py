@@ -49,3 +49,24 @@ def test_sharded_scale_sim():
     keys = [(r.id_a, r.id_b) for r in recs]
     assert keys == sorted(keys)
     assert len(set(keys)) == len(keys)
+    # correctness, not just structure: candidate nomination (per-pair
+    # collision counts) and alignment validity are strictly PAIRWISE in
+    # this algorithm, so the engine restricted to any read subset must
+    # reproduce exactly the full run's records whose both ids fall in the
+    # subset.  Re-run a 2k-read id-slab through the single-device engine.
+    lo, hi = n_reads // 2 + 1, n_reads // 2 + 2000
+    slab = [q for q in seqs if lo <= q.id <= hi]
+    from sequence_aligner_tpu.core.records import Sequence
+    from sequence_aligner_tpu.models.overlapper import Overlapper
+
+    remap = [Sequence(i + 1, q.seq) for i, q in enumerate(slab)]
+    single = Overlapper(s).run(remap)
+    want = sorted(
+        (r.id_a + lo - 1, r.id_b + lo - 1, r.ahg, r.bhg) for r in single
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.ahg, r.bhg)
+        for r in recs if lo <= r.id_a <= hi and lo <= r.id_b <= hi
+    )
+    assert want, "slab produced no overlaps to compare"
+    assert got == want

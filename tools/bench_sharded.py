@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Sharded-engine benchmark: reads/s + per-stage split over a device mesh.
+
+Covers BASELINE.md's multi-chip measurement points.  Runs unchanged on:
+  * the virtual CPU mesh  — SHARD_BENCH_CPU_MESH=8 python tools/bench_sharded.py
+  * the real chip(s)      — python tools/bench_sharded.py   (1-chip mesh today;
+                            a v5e-8 slice would show an 8-wide mesh)
+
+Stage attribution: a single fused shard_map program cannot be timed from
+the host mid-flight, so the harness times TRUNCATED copies of the same
+step (``stop_after`` in parallel/shard.py) and reports deltas:
+kmer -> +hash-route all-to-all -> +pair expand/aggregate/route ->
++read fetch all-to-all -> +align/emit.
+
+Prints ONE JSON line with reads/s, vs_baseline, and the stage split.
+Env knobs: SHARD_READS (default 32000), SHARD_READ_LEN (100),
+SHARD_SIM (coverage; 0 = c_ruddii shred), SHARD_BENCH_CPU_MESH (n dev).
+"""
+
+import json
+import os
+import sys
+import time
+
+if os.environ.get("SHARD_BENCH_CPU_MESH"):
+    n = int(os.environ["SHARD_BENCH_CPU_MESH"])
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n}"
+    ).strip()
+
+BASELINE_READS_PER_S = 32000.0 / 1200.0
+N_READS = int(os.environ.get("SHARD_READS", "32000"))
+READ_LEN = int(os.environ.get("SHARD_READ_LEN", "100"))
+SIM_COVERAGE = float(os.environ.get("SHARD_SIM", "0"))
+
+STAGES = ["kmer", "route", "pairs", "fetch", None]  # None = full step
+STAGE_LABELS = {
+    "kmer": "kmer_extract",
+    "route": "hash_all_to_all",
+    "pairs": "pair_gen_aggregate",
+    "fetch": "read_fetch_all_to_all",
+    None: "align_emit",
+}
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if os.environ.get("SHARD_BENCH_CPU_MESH"):
+        jax.config.update("jax_platforms", "cpu")
+    from sequence_aligner_tpu.utils.profiling import ensure_compile_cache
+
+    ensure_compile_cache()
+    devs = jax.devices()
+    log(f"devices: {devs}")
+    mesh = jax.make_mesh((len(devs),), ("shard",))
+
+    from sequence_aligner_tpu.core.settings import AlignSettings
+    from sequence_aligner_tpu.ops.encode import encode_reads
+    from sequence_aligner_tpu.parallel.shard import make_sharded_overlap_step
+    from sequence_aligner_tpu.pipeline.datasets import (
+        c_ruddii_reads, simulated_reads,
+    )
+
+    if SIM_COVERAGE:
+        seqs = simulated_reads(N_READS, READ_LEN, coverage=SIM_COVERAGE)
+    else:
+        seqs = c_ruddii_reads(n_reads=N_READS, read_len=READ_LEN)
+    s = AlignSettings.amos_parity()
+    n_dev = len(devs)
+    bases, lengths = encode_reads(seqs)
+    n, l = bases.shape
+    pad = (-n) % n_dev
+    if pad:
+        bases = np.pad(bases, ((0, pad), (0, 0)))
+        lengths = np.pad(lengths, (0, pad))
+    ids = np.concatenate(
+        [np.arange(1, n + 1, dtype=np.int32), np.zeros(pad, np.int32)]
+    )
+    widths = tuple(sorted({s.band_width(int(x)) for x in lengths[:n]}))
+    n_kmers = int(np.sum(np.maximum(lengths - s.kmer_size + 1, 0)))
+
+    def pow2(v):
+        c = 1024
+        while c < v:
+            c *= 2
+        return c
+
+    # per-device stream capacity ~ measured c_ruddii raw-event density
+    # (~2.6k edge x middle events per read at 100 bp / k=12) with 2x slack
+    caps = dict(
+        cap_route=max(1024, 2 * n_kmers // n_dev),
+        cap_head=pow2(5200 * n // n_dev),
+        cap_tail=pow2(5200 * n // n_dev),
+        cap_agg=pow2(1600 * n // n_dev),
+        cap_pair_route=pow2(400 * n // n_dev),
+        cap_out=pow2(800 * n // n_dev),
+    )
+    log(f"{n} reads x {READ_LEN} bp on {n_dev}-device mesh, caps={caps}")
+
+    bases_d, lengths_d, ids_d = (
+        jnp.asarray(x) for x in (bases, lengths, ids)
+    )
+
+    def sync(out):
+        if isinstance(out, tuple):
+            return int(np.asarray(out[-1]).sum())
+        return int(np.asarray(out).sum())
+
+    times = {}
+    prev = 0.0
+    result = None
+    for stop in STAGES:
+        step = make_sharded_overlap_step(
+            mesh, s, la_max=l, widths=widths, stop_after=stop, **caps
+        )
+        out = step(bases_d, lengths_d, ids_d)  # compile + warm
+        sync(out)
+        t0 = time.time()
+        out = step(bases_d, lengths_d, ids_d)
+        sync(out)
+        t = time.time() - t0
+        times[STAGE_LABELS[stop]] = round(t - prev, 4)
+        log(f"cumulative through {STAGE_LABELS[stop]}: {t:.3f}s")
+        prev = t
+        if stop is None:
+            result = out
+            total = t
+
+    valid, lead, trail, ahg, bhg, drops = (np.asarray(x) for x in result)
+    n_valid = int(valid.sum())
+    assert drops.sum() == 0, f"capacity drops in bench run: {drops}"
+    rps = n / total
+    log(f"full step: {total:.3f}s -> {rps:.1f} reads/s, {n_valid} overlaps")
+    print(json.dumps({
+        "metric": "sharded_overlap_reads_per_sec",
+        "value": round(rps, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_S, 2),
+        "n_devices": n_dev,
+        "backend": jax.default_backend(),
+        "n_reads": n,
+        "n_overlaps": n_valid,
+        "stages_s": times,
+    }))
+
+
+if __name__ == "__main__":
+    main()
