@@ -25,6 +25,7 @@ import json
 import os
 import signal
 import sys
+import threading
 import time
 
 BASELINE_READS_PER_S = 32000.0 / 1200.0
@@ -78,10 +79,25 @@ def _update(rps, stages, extra):
     )
 
 
+def _watchdog():
+    """Deadline enforcement that works even when the main thread is
+    blocked inside a native call (remote-compile RPC): signal handlers
+    only run between Python bytecodes, but a daemon thread keeps running
+    because blocking I/O releases the GIL.  At the deadline it flushes
+    the best-known result and hard-exits 0."""
+    time.sleep(DEADLINE_S)
+    log(f"watchdog: {DEADLINE_S}s deadline hit — flushing best-known "
+        f"result and exiting")
+    flush_result()
+    sys.stdout.flush()
+    os._exit(0)
+
+
 def main():
     for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
         signal.signal(sig, _on_signal)
     signal.alarm(DEADLINE_S)
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     import jax
 
