@@ -102,11 +102,11 @@ def _run_bounds(h):
 _POS_BITS = 12  # packed (rid << 12 | pos) for the uniform-length fast path
 
 
-def expand_raw_pairs(
-    occ_sorted, geom, cap_head: int, cap_tail: int, pack_den: int = 0
-):
-    """Hash-sorted occurrence table -> flat ordered-pair table (fst, snd,
-    ok) of static size cap_head + cap_tail, pre-counting.
+def _expand_class(occ_sorted, geom, which: str, cap: int, pack_den: int = 0):
+    """Hash-sorted occurrence table -> ONE edge class's flat ordered-pair
+    stream (fst, snd, ok, total) of static size ``cap``, pre-counting.
+    ``which`` selects the head-edge or tail-edge class
+    (src/KmerTable.scala:118-128: head x middle and tail x middle).
 
     pack_den > 0 enables the uniform-read-length fast path: all locs share
     the denominator ``pack_den = len - k``, so the lead rule's float32 loc
@@ -121,9 +121,11 @@ def expand_raw_pairs(
     valid = occ_sorted["valid"] & (h != _I32_MAX)
     n = h.shape[0]
 
-    is_head = valid & (loc <= geom["head_edge"])
     is_mid = valid & (geom["mid_lead"] <= loc) & (loc <= geom["mid_tail"])
-    is_tail = valid & (loc >= geom["tail_edge"])
+    if which == "head":
+        edge_mask = valid & (loc <= geom["head_edge"])
+    else:
+        edge_mask = valid & (loc >= geom["tail_edge"])
 
     if pack_den:
         # exact position recovery: loc = round_f32(pos / D), and
@@ -146,6 +148,7 @@ def expand_raw_pairs(
     seg_l, seg_r = _run_bounds(h)
     mid_base = mid_pref_full[seg_l]
     mid_cnt = mid_pref_full[seg_r] - mid_base
+
     def _expand(edge_mask, cap):
         npairs = jnp.where(edge_mask, mid_cnt, 0)
         cum = jnp.cumsum(npairs)
@@ -204,8 +207,23 @@ def expand_raw_pairs(
         snd = jnp.where(a_first, b_id, a_id)
         return fst, snd, ok, total
 
-    h_fst, h_snd, h_ok, h_total = _expand(is_head, cap_head)
-    t_fst, t_snd, t_ok, t_total = _expand(is_tail, cap_tail)
+    return _expand(edge_mask, cap)
+
+
+def expand_raw_pairs(
+    occ_sorted, geom, cap_head: int, cap_tail: int, pack_den: int = 0
+):
+    """Both edge classes' streams concatenated: (fst, snd, ok) of static
+    size cap_head + cap_tail, plus the exact per-class totals.  (The
+    single-device engine runs the classes as separate programs — see
+    ``candidate_pairs_stream``; this combined form is the sharded step's
+    building block, where per-device caps are mesh-divided.)"""
+    h_fst, h_snd, h_ok, h_total = _expand_class(
+        occ_sorted, geom, "head", cap_head, pack_den
+    )
+    t_fst, t_snd, t_ok, t_total = _expand_class(
+        occ_sorted, geom, "tail", cap_tail, pack_den
+    )
     fst = jnp.concatenate([h_fst, t_fst])
     snd = jnp.concatenate([h_snd, t_snd])
     ok = jnp.concatenate([h_ok, t_ok])
@@ -327,13 +345,134 @@ def plan_totals(occ_sorted, **geom) -> tuple[int, int]:
     return h_total, t_total
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "cap_head", "cap_tail", "cap_out", "presorted", "packed_ids",
-        "pack_den", "with_counts",
-    ),
-)
+# ---------------------------------------------------------------------------
+# Candidate generation as SEPARATE compiled programs.
+#
+# Round 3 finding: the original single-program formulation (expand both
+# edge classes + global sort + run-length + compact fused into one jit)
+# produced an XLA program whose TPU compile was killed by the compile
+# helper's memory limit at production caps (~40M slots per class) —
+# `tpu_compile_helper subprocess exit signal SIGKILL`.  The stages below
+# are natural program boundaries anyway (a sort cannot fuse with the
+# scans around it); splitting costs only a few HBM round-trips of the
+# stream (~milliseconds at 800 GB/s) and buys:
+#   * each program compiles independently in minutes, not an hour-plus;
+#   * head and tail classes share ONE compiled expansion program
+#     (identical caps);
+#   * the cap_out overflow retry recompiles only the small finish
+#     program, never the expansion or the sort.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cap", "pack_den", "which"))
+def _expand_keys_jit(
+    occ_s, head_edge, tail_edge, mid_lead, mid_tail, *,
+    cap: int, pack_den: int, which: str,
+):
+    """One edge class -> packed (fst<<16|snd) key stream [cap] (invalid
+    slots = +inf) + exact raw total.  Requires read ids < 2^15 (the
+    reference itself packs pairs as (id<<16)^id, src/KmerTable.scala:73)."""
+    geom = dict(
+        head_edge=head_edge, tail_edge=tail_edge,
+        mid_lead=mid_lead, mid_tail=mid_tail,
+    )
+    fst, snd, ok, total = _expand_class(occ_s, geom, which, cap, pack_den)
+    return jnp.where(ok, (fst << 16) | snd, _I32_MAX), total
+
+
+@partial(jax.jit, static_argnames=("cap", "pack_den", "which"))
+def _expand_np_jit(
+    occ_s, head_edge, tail_edge, mid_lead, mid_tail, *,
+    cap: int, pack_den: int, which: str,
+):
+    """One edge class -> (fst, snd, ok, total) streams (general-id path)."""
+    geom = dict(
+        head_edge=head_edge, tail_edge=tail_edge,
+        mid_lead=mid_lead, mid_tail=mid_tail,
+    )
+    return _expand_class(occ_s, geom, which, cap, pack_den)
+
+
+@jax.jit
+def _sort_keys_jit(key_h, key_t):
+    """ONE unstable single-operand sort of the concatenated packed keys
+    (~7x less sort work than two stable 2-operand passes)."""
+    return jax.lax.sort(
+        (jnp.concatenate([key_h, key_t]),), num_keys=1, is_stable=False
+    )[0]
+
+
+@jax.jit
+def _sort_pairs_np_jit(h_fst, h_snd, h_ok, t_fst, t_snd, t_ok):
+    """Radix aggregation for the general-id path: stable sort by snd,
+    then stable sort by fst (invalid rows carry +inf keys and sink)."""
+    fst = jnp.concatenate([h_fst, t_fst])
+    snd = jnp.concatenate([h_snd, t_snd])
+    ok = jnp.concatenate([h_ok, t_ok])
+    fstm = jnp.where(ok, fst, _I32_MAX)
+    key1 = jnp.where(ok, snd, _I32_MAX)
+    key1, fstm = jax.lax.sort((key1, fstm), num_keys=1, is_stable=True)
+    fst2, snd2 = jax.lax.sort((fstm, key1), num_keys=1, is_stable=True)
+    return fst2, snd2
+
+
+def _run_length_keep(fst2, snd2, okv, min_collisions, max_collisions):
+    """Run-length counts via forward/backward run-boundary fills; keep =
+    run representative with count inside the collision band
+    (src/KmerTable.scala:155-187)."""
+    n = fst2.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (fst2[1:] != fst2[:-1]) | (snd2[1:] != snd2[:-1]),
+        ]
+    )
+    start_fill = jax.lax.cummax(jnp.where(first, idx, 0))
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(first, idx, _I32_MAX))))
+    nxt = jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)])
+    cnt = jnp.minimum(nxt, n) - start_fill  # exact at run-start positions
+    keep = first & okv & (min_collisions <= cnt) & (cnt <= max_collisions)
+    return cnt, keep
+
+
+@partial(jax.jit, static_argnames=("cap_out", "with_counts"))
+def _finish_packed_jit(
+    key_s, min_collisions, max_collisions, *, cap_out: int, with_counts: bool
+):
+    """Sorted packed keys -> run-length counts -> collision-band filter ->
+    compacted (lead, trail, count, n_out).  ONE packed-key scatter
+    (stream-sized random scatters run at gather rate); lead/trail unpack
+    from the compacted table with cheap elementwise ops."""
+    okv = key_s != _I32_MAX
+    fst2 = jnp.where(okv, key_s >> 16, _I32_MAX)
+    snd2 = key_s & 0xFFFF
+    cnt, keep = _run_length_keep(fst2, snd2, okv, min_collisions, max_collisions)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    n_out = jnp.sum(keep.astype(jnp.int32))
+    slot = jnp.where(keep, pos, cap_out)
+    keyc = jnp.zeros((cap_out + 1,), jnp.int32).at[slot].set(
+        jnp.where(keep, key_s, 0)
+    )[:cap_out]
+    lead = keyc >> 16
+    trail = keyc & 0xFFFF
+    if with_counts:
+        ocnt = jnp.zeros((cap_out + 1,), jnp.int32).at[slot].set(
+            jnp.where(keep, cnt, 0)
+        )[:cap_out]
+    else:
+        ocnt = None
+    return dict(lead=lead, trail=trail, count=ocnt, n_out=n_out)
+
+
+@partial(jax.jit, static_argnames=("cap_out",))
+def _finish_np_jit(fst2, snd2, min_collisions, max_collisions, *, cap_out: int):
+    okv = fst2 != _I32_MAX
+    cnt, keep = _run_length_keep(fst2, snd2, okv, min_collisions, max_collisions)
+    lead, trail, ocnt, n_out = compact_pairs(fst2, snd2, cnt, keep, cap_out)
+    return dict(lead=lead, trail=trail, count=ocnt, n_out=n_out)
+
+
 def candidate_pairs_stream(
     occ,
     *,
@@ -353,16 +492,20 @@ def candidate_pairs_stream(
 ):
     """Global-stream candidate generation (the single-chip fast path).
 
-    Expands the full edge x middle cross-product stream
-    (``expand_raw_pairs``) and aggregates it with two 2-operand stable
-    1-key sorts + run-length counting.  Everything is 1-D: on TPU, flat
-    gathers from flat tables are ~10x cheaper than 2-D lane-axis gathers
-    (take_along_axis) — an earlier per-lead-row design built around the
-    latter paid ~10 s at 4k reads; this global-stream path replaced it.
+    Host orchestrator over the split programs above: expand the head and
+    tail edge x middle cross-product streams (one shared compiled program
+    when cap_head == cap_tail), aggregate by sort, run-length count and
+    compact.  All dispatches are async — the host never blocks between
+    stages; intermediates live in HBM.
+
+    Everything is 1-D: on TPU, flat gathers from flat tables are ~10x
+    cheaper than 2-D lane-axis gathers (take_along_axis) — an earlier
+    per-lead-row design built around the latter paid ~10 s at 4k reads.
 
     Capacities are exact: ``plan_totals_device`` computes the true
     h_total/t_total on device, and raw_total // min_collisions bounds
-    cap_out, so overflow retries never fire in practice.
+    cap_out, so overflow retries never fire in practice (and when they
+    do, only the small finish program recompiles).
 
     Semantics identical to calcPairData + calcDispatchData
     (src/KmerTable.scala:85-187): per unique k-mer, head-edge x middle and
@@ -370,70 +513,33 @@ def candidate_pairs_stream(
     src/KmerTable.scala:65-71), self-pairs dropped, collision count kept
     within [min_collisions, max_collisions].
     """
-    occ_s = occ if presorted else sort_occurrences(occ)
-    geom = dict(
+    occ_s = occ if presorted else sort_occurrences_jit(occ)
+    edges = dict(
         head_edge=head_edge, tail_edge=tail_edge,
         mid_lead=mid_lead, mid_tail=mid_tail,
     )
-    fst, snd, ok, h_tot, t_tot = expand_raw_pairs(
-        occ_s, geom, cap_head, cap_tail, pack_den=pack_den
-    )
-    n = fst.shape[0]
-
     if packed_ids:
-        # read ids < 2^15 (the common case; the reference itself packs pairs
-        # as (id<<16)^id, src/KmerTable.scala:73): ONE unstable single-
-        # operand sort of the packed keys instead of two stable 2-operand
-        # sorts (~7x less sort work)
-        key = jnp.where(ok, (fst << 16) | snd, _I32_MAX)
-        key_s = jax.lax.sort((key,), num_keys=1, is_stable=False)[0]
-        okv = key_s != _I32_MAX
-        fst2 = jnp.where(okv, key_s >> 16, _I32_MAX)
-        snd2 = key_s & 0xFFFF
+        key_h, h_tot = _expand_keys_jit(
+            occ_s, **edges, cap=cap_head, pack_den=pack_den, which="head"
+        )
+        key_t, t_tot = _expand_keys_jit(
+            occ_s, **edges, cap=cap_tail, pack_den=pack_den, which="tail"
+        )
+        key_s = _sort_keys_jit(key_h, key_t)
+        out = _finish_packed_jit(
+            key_s, min_collisions, max_collisions,
+            cap_out=cap_out, with_counts=with_counts,
+        )
     else:
-        # ---- radix aggregation: stable sort by snd, then by fst ----
-        fstm = jnp.where(ok, fst, _I32_MAX)
-        key1 = jnp.where(ok, snd, _I32_MAX)
-        key1, fstm = jax.lax.sort((key1, fstm), num_keys=1, is_stable=True)
-        fst2, snd2 = jax.lax.sort((fstm, key1), num_keys=1, is_stable=True)
-        okv = fst2 != _I32_MAX
-
-    # ---- run-length counts via forward/backward run-boundary fills ----
-    idx = jnp.arange(n, dtype=jnp.int32)
-    first = jnp.concatenate(
-        [
-            jnp.ones((1,), jnp.bool_),
-            (fst2[1:] != fst2[:-1]) | (snd2[1:] != snd2[:-1]),
-        ]
-    )
-    start_fill = jax.lax.cummax(jnp.where(first, idx, 0))
-    nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(first, idx, _I32_MAX))))
-    nxt = jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)])
-    cnt = jnp.minimum(nxt, n) - start_fill  # exact at run-start positions
-
-    keep = first & okv & (min_collisions <= cnt) & (cnt <= max_collisions)
-    if packed_ids:
-        # ONE packed-key scatter (stream-sized random scatters run at
-        # gather rate, ~0.7 s each at 84M slots); lead/trail unpack from
-        # the compacted table with cheap elementwise ops
-        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-        n_out = jnp.sum(keep.astype(jnp.int32))
-        slot = jnp.where(keep, pos, cap_out)
-        keyc = jnp.zeros((cap_out + 1,), jnp.int32).at[slot].set(
-            jnp.where(keep, key_s, 0)
-        )[:cap_out]
-        lead = keyc >> 16
-        trail = keyc & 0xFFFF
-        if with_counts:
-            ocnt = jnp.zeros((cap_out + 1,), jnp.int32).at[slot].set(
-                jnp.where(keep, cnt, 0)
-            )[:cap_out]
-        else:
-            ocnt = None
-    else:
-        lead, trail, ocnt, n_out = compact_pairs(fst2, snd2, cnt, keep, cap_out)
-    overflow = (h_tot > cap_head) | (t_tot > cap_tail) | (n_out > cap_out)
-    return dict(
-        lead=lead, trail=trail, count=ocnt, n_out=n_out,
-        h_tot=h_tot, t_tot=t_tot, overflow=overflow,
-    )
+        h_fst, h_snd, h_ok, h_tot = _expand_np_jit(
+            occ_s, **edges, cap=cap_head, pack_den=pack_den, which="head"
+        )
+        t_fst, t_snd, t_ok, t_tot = _expand_np_jit(
+            occ_s, **edges, cap=cap_tail, pack_den=pack_den, which="tail"
+        )
+        fst2, snd2 = _sort_pairs_np_jit(h_fst, h_snd, h_ok, t_fst, t_snd, t_ok)
+        out = _finish_np_jit(
+            fst2, snd2, min_collisions, max_collisions, cap_out=cap_out
+        )
+    overflow = (h_tot > cap_head) | (t_tot > cap_tail) | (out["n_out"] > cap_out)
+    return dict(out, h_tot=h_tot, t_tot=t_tot, overflow=overflow)

@@ -22,6 +22,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 if os.environ.get("SHARD_BENCH_CPU_MESH"):
     n = int(os.environ["SHARD_BENCH_CPU_MESH"])
     os.environ["JAX_PLATFORMS"] = "cpu"
