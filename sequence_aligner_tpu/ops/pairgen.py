@@ -364,33 +364,178 @@ def plan_totals(occ_sorted, **geom) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cap", "pack_den", "which"))
-def _expand_keys_jit(
+# stream-chunk size for the chunked expansion: large enough to amortize
+# dispatch (dozens of calls per run), small enough that each chunk program
+# stays in the compile helper's comfortable range (table-sized programs
+# compile in seconds-to-minutes; 40M-slot stream programs hang/die)
+_EXPAND_CHUNK = 1 << 22
+
+
+@partial(jax.jit, static_argnames=("pack_den", "which"))
+def _expand_prep_jit(
     occ_s, head_edge, tail_edge, mid_lead, mid_tail, *,
-    cap: int, pack_den: int, which: str,
+    pack_den: int, which: str,
 ):
-    """One edge class -> packed (fst<<16|snd) key stream [cap] (invalid
-    slots = +inf) + exact raw total.  Requires read ids < 2^15 (the
-    reference itself packs pairs as (id<<16)^id, src/KmerTable.scala:73)."""
+    """Table-sized preparation for one edge class's chunked expansion:
+    per-row exclusive stream offsets, middle-class rank tables, and the
+    gather-operand tables.  Everything here is O(table), never O(stream).
+    """
     geom = dict(
         head_edge=head_edge, tail_edge=tail_edge,
         mid_lead=mid_lead, mid_tail=mid_tail,
     )
-    fst, snd, ok, total = _expand_class(occ_s, geom, which, cap, pack_den)
-    return jnp.where(ok, (fst << 16) | snd, _I32_MAX), total
+    h = occ_s["hash"]
+    rid = occ_s["read_id"]
+    loc = occ_s["loc"]
+    valid = occ_s["valid"] & (h != _I32_MAX)
+    n = h.shape[0]
 
+    is_mid = valid & (geom["mid_lead"] <= loc) & (loc <= geom["mid_tail"])
+    if which == "head":
+        edge_mask = valid & (loc <= geom["head_edge"])
+    else:
+        edge_mask = valid & (loc >= geom["tail_edge"])
 
-@partial(jax.jit, static_argnames=("cap", "pack_den", "which"))
-def _expand_np_jit(
-    occ_s, head_edge, tail_edge, mid_lead, mid_tail, *,
-    cap: int, pack_den: int, which: str,
-):
-    """One edge class -> (fst, snd, ok, total) streams (general-id path)."""
-    geom = dict(
-        head_edge=head_edge, tail_edge=tail_edge,
-        mid_lead=mid_lead, mid_tail=mid_tail,
+    if pack_den:
+        posn = jnp.round(loc * jnp.float32(pack_den)).astype(jnp.int32)
+        packed = (rid << _POS_BITS) | jnp.clip(posn, 0, (1 << _POS_BITS) - 1)
+
+    mid_rows, mid_prefix, mid_total = _compact_indices(is_mid)
+    mid_pref_full = jnp.concatenate([mid_prefix, mid_total[None]])
+    seg_l, seg_r = _run_bounds(h)
+    mid_base = mid_pref_full[seg_l]
+    mid_cnt = mid_pref_full[seg_r] - mid_base
+
+    npairs = jnp.where(edge_mask, mid_cnt, 0)
+    cum = jnp.cumsum(npairs)
+    total = cum[-1] if n else jnp.int32(0)
+    excl = cum - npairs
+    prep = dict(
+        excl=excl, active=npairs > 0, mid_base=mid_base, total=total,
     )
-    return _expand_class(occ_s, geom, which, cap, pack_den)
+    if pack_den:
+        prep["apk"] = packed
+        prep["mid_pk"] = packed[mid_rows]
+    else:
+        prep["a_rid"] = rid
+        prep["a_loc"] = loc
+        prep["m_rid"] = rid[mid_rows]
+        prep["m_loc"] = loc[mid_rows]
+    return prep
+
+
+@partial(jax.jit, static_argnames=("chunk", "pack_den", "emit_key"))
+def _expand_chunk_jit(prep, t0, *, chunk: int, pack_den: int, emit_key: bool):
+    """Slots [t0, t0 + chunk) of one edge class's raw-pair stream.
+
+    ONE compiled program serves every chunk of both classes (t0 is
+    traced): per-chunk footprint is O(chunk), which keeps the XLA program
+    inside the remote compile helper's memory limit — the full-stream
+    formulation of the same scatter+cummax fills was SIGKILLed at
+    production caps.  The chunk's boundary carry is the straddling source
+    row r0 (the active row with the largest stream offset <= t0), seeded
+    into slot 0 of every fill.
+    """
+    excl = prep["excl"]
+    active = prep["active"]
+    total = prep["total"]
+    n = excl.shape[0]
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+
+    # straddling row: largest active row with excl <= t0
+    r0 = jnp.max(jnp.where(active & (excl <= t0), iota_n, -1))
+    r0c = jnp.clip(r0, 0, n - 1)
+    has0 = r0 >= 0
+
+    in_win = active & (excl >= t0) & (excl < t0 + chunk)
+    pos_c = jnp.where(in_win, excl - t0, chunk)
+    t = t0 + jnp.arange(chunk, dtype=jnp.int32)
+
+    def fill_mono(vals):
+        """Segment-broadcast of a per-row NONDECREASING value: seed slot 0
+        with the straddling row's value, scatter in-window run starts,
+        cummax-fill."""
+        seed = jnp.where(has0, vals[r0c], 0)
+        base = (
+            jnp.zeros((chunk + 1,), jnp.int32)
+            .at[0].set(seed)
+            .at[pos_c].max(jnp.where(in_win, vals, 0))
+        )
+        return jax.lax.cummax(base[:chunk])
+
+    run_start = fill_mono(excl)
+    mrank = fill_mono(prep["mid_base"]) + (t - run_start)
+    ok = t < total
+    if pack_den:
+        mid_pk = prep["mid_pk"]
+        mrank = jnp.clip(mrank, 0, max(mid_pk.shape[0] - 1, 0))
+        # a operand: arbitrary positive values -> seeded scatter at run
+        # starts + last-nonzero forward fill (apk = rid<<12|pos >= 4096)
+        apk = prep["apk"]
+        seeded = (
+            jnp.zeros((chunk + 1,), jnp.int32)
+            .at[0].set(jnp.where(has0, apk[r0c], 0))
+            .at[pos_c].max(jnp.where(in_win, apk, 0))
+        )[:chunk]
+        a_pk = jax.lax.associative_scan(
+            lambda a, b: jnp.where(b == 0, a, b), seeded
+        )
+        b_pk = mid_pk[mrank]
+        a_id = a_pk >> _POS_BITS
+        b_id = b_pk >> _POS_BITS
+        a_first = (a_pk & ((1 << _POS_BITS) - 1)) > (
+            b_pk & ((1 << _POS_BITS) - 1)
+        )
+    else:
+        m_rid = prep["m_rid"]
+        mrank = jnp.clip(mrank, 0, max(m_rid.shape[0] - 1, 0))
+        ei = fill_mono(iota_n)  # row index is monotone over run starts
+        a_id, a_loc = prep["a_rid"][ei], prep["a_loc"][ei]
+        b_id, b_loc = m_rid[mrank], prep["m_loc"][mrank]
+        a_first = a_loc > b_loc  # strict-greater loc leads (:65-71)
+    ok &= a_id != b_id  # self pairs skipped (src/KmerTable.scala:61-63)
+    fst = jnp.where(a_first, a_id, b_id)
+    snd = jnp.where(a_first, b_id, a_id)
+    if emit_key:
+        return jnp.where(ok, (fst << 16) | snd, _I32_MAX)
+    return fst, snd, ok
+
+
+def _chunk_sizes(cap: int) -> list[int]:
+    """Split a stream capacity into _EXPAND_CHUNK-sized pieces (the tail
+    piece may be smaller; sub-chunk caps are a single piece)."""
+    if cap <= _EXPAND_CHUNK:
+        return [cap] if cap else []
+    sizes = [_EXPAND_CHUNK] * (cap // _EXPAND_CHUNK)
+    if cap % _EXPAND_CHUNK:
+        sizes.append(cap % _EXPAND_CHUNK)
+    return sizes
+
+
+def _expand_stream_chunked(occ_s, edges, *, cap, pack_den, which, emit_key):
+    """One edge class's full stream via the chunked programs.  Returns
+    (key [cap], total) when emit_key else (fst, snd, ok, total)."""
+    prep = _expand_prep_jit(occ_s, **edges, pack_den=pack_den, which=which)
+    pieces = []
+    t0 = 0
+    for c in _chunk_sizes(cap):
+        pieces.append(_expand_chunk_jit(
+            prep, jnp.int32(t0), chunk=c, pack_den=pack_den,
+            emit_key=emit_key,
+        ))
+        t0 += c
+    if emit_key:
+        key = (
+            jnp.concatenate(pieces) if len(pieces) != 1 else pieces[0]
+        ) if pieces else jnp.zeros((0,), jnp.int32)
+        return key, prep["total"]
+    if not pieces:
+        z = jnp.zeros((0,), jnp.int32)
+        return z, z, jnp.zeros((0,), jnp.bool_), prep["total"]
+    fst = jnp.concatenate([p[0] for p in pieces])
+    snd = jnp.concatenate([p[1] for p in pieces])
+    ok = jnp.concatenate([p[2] for p in pieces])
+    return fst, snd, ok, prep["total"]
 
 
 @jax.jit
@@ -519,11 +664,13 @@ def candidate_pairs_stream(
         mid_lead=mid_lead, mid_tail=mid_tail,
     )
     if packed_ids:
-        key_h, h_tot = _expand_keys_jit(
-            occ_s, **edges, cap=cap_head, pack_den=pack_den, which="head"
+        key_h, h_tot = _expand_stream_chunked(
+            occ_s, edges, cap=cap_head, pack_den=pack_den, which="head",
+            emit_key=True,
         )
-        key_t, t_tot = _expand_keys_jit(
-            occ_s, **edges, cap=cap_tail, pack_den=pack_den, which="tail"
+        key_t, t_tot = _expand_stream_chunked(
+            occ_s, edges, cap=cap_tail, pack_den=pack_den, which="tail",
+            emit_key=True,
         )
         key_s = _sort_keys_jit(key_h, key_t)
         out = _finish_packed_jit(
@@ -531,11 +678,13 @@ def candidate_pairs_stream(
             cap_out=cap_out, with_counts=with_counts,
         )
     else:
-        h_fst, h_snd, h_ok, h_tot = _expand_np_jit(
-            occ_s, **edges, cap=cap_head, pack_den=pack_den, which="head"
+        h_fst, h_snd, h_ok, h_tot = _expand_stream_chunked(
+            occ_s, edges, cap=cap_head, pack_den=pack_den, which="head",
+            emit_key=False,
         )
-        t_fst, t_snd, t_ok, t_tot = _expand_np_jit(
-            occ_s, **edges, cap=cap_tail, pack_den=pack_den, which="tail"
+        t_fst, t_snd, t_ok, t_tot = _expand_stream_chunked(
+            occ_s, edges, cap=cap_tail, pack_den=pack_den, which="tail",
+            emit_key=False,
         )
         fst2, snd2 = _sort_pairs_np_jit(h_fst, h_snd, h_ok, t_fst, t_snd, t_ok)
         out = _finish_np_jit(

@@ -486,3 +486,42 @@ def test_run_stream_matches_run_golden():
                          chunk_reads=64)
     ours = "".join(r.render() + "\n" for r in recs)
     assert ours == open("/root/reference/amos/small/crp177.ovl").read()
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_candidate_pairs_chunked_expansion_parity(crp_seqs, packed, monkeypatch):
+    """The chunked expansion (tiny _EXPAND_CHUNK forces many chunks and
+    exercises the straddling-row boundary carry) reproduces the
+    single-chunk stream's pairs AND counts exactly."""
+    import sequence_aligner_tpu.ops.pairgen as pg
+
+    s = AlignSettings.amos_parity()
+    ov = Overlapper(s)
+    bases, lengths = encode_reads(crp_seqs[:48])
+    occ = ov._occurrences(bases, lengths)
+    kw = dict(
+        head_edge=jnp.float32(s.kmer_head_edge),
+        tail_edge=jnp.float32(s.kmer_tail_edge),
+        mid_lead=jnp.float32(s.kmer_mid_lead_edge),
+        mid_tail=jnp.float32(s.kmer_mid_tail_edge),
+        min_collisions=jnp.int32(1), max_collisions=jnp.int32(10**9),
+        cap_head=1 << 15, cap_tail=1 << 15, cap_out=1 << 14,
+        packed_ids=packed,
+    )
+    ref = pg.candidate_pairs_stream(occ, **kw)  # cap < chunk: single piece
+    n_ref = int(ref["n_out"])
+    want = [
+        (int(ref["lead"][i]), int(ref["trail"][i]), int(ref["count"][i]))
+        for i in range(n_ref)
+    ]
+    # 517-slot chunks: prime-ish size, not a run boundary multiple
+    monkeypatch.setattr(pg, "_EXPAND_CHUNK", 517)
+    got_out = pg.candidate_pairs_stream(occ, **kw)
+    n_got = int(got_out["n_out"])
+    got = [
+        (int(got_out["lead"][i]), int(got_out["trail"][i]),
+         int(got_out["count"][i]))
+        for i in range(n_got)
+    ]
+    assert not bool(got_out["overflow"])
+    assert got == want and n_got == n_ref and n_ref > 0
