@@ -161,33 +161,23 @@ def _expand_class(occ_sorted, geom, which: str, cap: int, pack_den: int = 0):
         # in two passes (vs ~20 gather passes for the unrolled search)
         pos = jnp.where((npairs > 0) & (excl < cap), excl, cap)
 
-        def fill(vals):
-            """Segment-broadcast of a per-row NONDECREASING value to the
-            stream via the same scatter + cummax (no gather)."""
-            return jax.lax.cummax(
-                jnp.full((cap + 1,), 0, jnp.int32).at[pos].max(
-                    jnp.where(pos < cap, vals, 0)
-                )[:cap]
-            )
-
-        def fill_any(vals):
-            """Segment-broadcast of an ARBITRARY positive value: scatter at
-            run starts, forward-fill with a last-nonzero associative scan
-            (a log-pass scan instead of a stream-sized random gather)."""
-            seeded = jnp.full((cap + 1,), 0, jnp.int32).at[pos].max(
-                jnp.where(pos < cap, vals, 0)
-            )[:cap]
-            return jax.lax.associative_scan(
-                lambda a, b: jnp.where(b == 0, a, b), seeded
-            )
-
-        run_start = fill(pos)
-        mrank = fill(mid_base) + (t - run_start)  # mid_base is monotone
+        # source-row broadcast: the row index is monotone over run starts,
+        # so ONE scatter + cummax fill yields each slot's source row; every
+        # per-row quantity (stream offset, middle base, operands) follows
+        # by gathers.  (Earlier formulations ran one fill per quantity plus
+        # a last-nonzero lax.associative_scan for the packed operand — that
+        # custom-combiner scan is a compile-time catastrophe on the TPU
+        # toolchain; see tools/compile_probe.py.)
+        mark = jnp.full((cap + 1,), 0, jnp.int32).at[pos].max(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        ei = jax.lax.cummax(mark[:cap])
+        mrank = mid_base[ei] + (t - excl[ei])
         mrank = jnp.clip(mrank, 0, max(mid_rows.shape[0] - 1, 0))
         # every slot's source row has npairs > 0, hence is an edge row
         ok = t < total
         if pack_den:
-            a_pk = fill_any(packed)  # packed = rid<<12|pos, rid >= 1 -> > 0
+            a_pk = packed[ei]
             b_pk = mid_pk[mrank]
             a_id = a_pk >> _POS_BITS
             b_id = b_pk >> _POS_BITS
@@ -195,10 +185,6 @@ def _expand_class(occ_sorted, geom, which: str, cap: int, pack_den: int = 0):
                 b_pk & ((1 << _POS_BITS) - 1)
             )
         else:
-            mark = jnp.full((cap + 1,), 0, jnp.int32).at[pos].max(
-                jnp.arange(n, dtype=jnp.int32)
-            )
-            ei = jax.lax.cummax(mark[:cap])
             a_id, a_loc = rid[ei], loc[ei]
             b_id, b_loc = mid_rid[mrank], mid_loc[mrank]
             a_first = a_loc > b_loc  # strict-greater loc leads (:65-71)
@@ -463,23 +449,20 @@ def _expand_chunk_jit(prep, t0, *, chunk: int, pack_den: int, emit_key: bool):
         )
         return jax.lax.cummax(base[:chunk])
 
-    run_start = fill_mono(excl)
-    mrank = fill_mono(prep["mid_base"]) + (t - run_start)
+    # source-row broadcast: the row index is monotone over run starts, so
+    # ONE seeded scatter + cummax fill yields each slot's source row, and
+    # every per-row quantity follows by gathers.  (An earlier formulation
+    # ran one fill per quantity plus a last-nonzero lax.associative_scan
+    # for the packed operand — that custom-combiner scan is a compile-time
+    # catastrophe on the TPU toolchain: >12 min for the scan ALONE at 4M
+    # elements, vs 7 s for cummax; see tools/compile_probe.py.)
+    ei = fill_mono(iota_n)
+    mrank = prep["mid_base"][ei] + (t - excl[ei])
     ok = t < total
     if pack_den:
         mid_pk = prep["mid_pk"]
         mrank = jnp.clip(mrank, 0, max(mid_pk.shape[0] - 1, 0))
-        # a operand: arbitrary positive values -> seeded scatter at run
-        # starts + last-nonzero forward fill (apk = rid<<12|pos >= 4096)
-        apk = prep["apk"]
-        seeded = (
-            jnp.zeros((chunk + 1,), jnp.int32)
-            .at[0].set(jnp.where(has0, apk[r0c], 0))
-            .at[pos_c].max(jnp.where(in_win, apk, 0))
-        )[:chunk]
-        a_pk = jax.lax.associative_scan(
-            lambda a, b: jnp.where(b == 0, a, b), seeded
-        )
+        a_pk = prep["apk"][ei]
         b_pk = mid_pk[mrank]
         a_id = a_pk >> _POS_BITS
         b_id = b_pk >> _POS_BITS
@@ -489,7 +472,6 @@ def _expand_chunk_jit(prep, t0, *, chunk: int, pack_den: int, emit_key: bool):
     else:
         m_rid = prep["m_rid"]
         mrank = jnp.clip(mrank, 0, max(m_rid.shape[0] - 1, 0))
-        ei = fill_mono(iota_n)  # row index is monotone over run starts
         a_id, a_loc = prep["a_rid"][ei], prep["a_loc"][ei]
         b_id, b_loc = m_rid[mrank], prep["m_loc"][mrank]
         a_first = a_loc > b_loc  # strict-greater loc leads (:65-71)
