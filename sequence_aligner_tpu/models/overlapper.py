@@ -516,10 +516,7 @@ class Overlapper:
             order = np.lexsort((trail_v, lead_v))
             cols = [np.asarray(c)[order].tolist()
                     for c in (lead_v, trail_v, ahg_v, bhg_v)]
-            records = [
-                OverlapRecord(id_a=a, id_b=b, ahg=h, bhg=g)
-                for a, b, h, g in zip(*cols)
-            ]
+            records = OverlapRecord.bulk_build(*cols)
         printdb(self.timer.report())
         if debug_enabled():
             from sequence_aligner_tpu.utils.profiling import (

@@ -350,11 +350,14 @@ def plan_totals(occ_sorted, **geom) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 
-# stream-chunk size for the chunked expansion: large enough to amortize
-# dispatch (dozens of calls per run), small enough that each chunk program
-# stays in the compile helper's comfortable range (table-sized programs
-# compile in seconds-to-minutes; 40M-slot stream programs hang/die)
-_EXPAND_CHUNK = 1 << 22
+# Stream-chunk size for the chunked expansion.  With the associative_scan
+# gone, full-stream programs compile in seconds (tools/compile_probe.py),
+# and a single piece is fastest at runtime: each extra chunk re-runs the
+# table-sized scatter and straddling-row reduction (measured 331 ms/chunk
+# at 4M slots, 20 chunks = 6.5 s vs ~2 s single-piece).  The chunk
+# machinery stays (tests force small chunks) as the escape hatch for
+# shapes that ever outgrow the compile helper again.
+_EXPAND_CHUNK = 1 << 31
 
 
 @partial(jax.jit, static_argnames=("pack_den", "which"))
@@ -396,11 +399,16 @@ def _expand_prep_jit(
     cum = jnp.cumsum(npairs)
     total = cum[-1] if n else jnp.int32(0)
     excl = cum - npairs
+    # mb_off[r] = mid_base[r] - excl[r]: the slot's middle rank is then
+    # mb_off[row] + t — one gathered value instead of two
     prep = dict(
-        excl=excl, active=npairs > 0, mid_base=mid_base, total=total,
+        excl=excl, active=npairs > 0, total=total,
+        mb_off=mid_base - excl,
     )
     if pack_den:
-        prep["apk"] = packed
+        # fused per-row operand table [n, 2]: (packed a operand, mb_off);
+        # one 2-wide row gather replaces two stream-sized element gathers
+        prep["a_tab"] = jnp.stack([packed, mid_base - excl], axis=1)
         prep["mid_pk"] = packed[mid_rows]
     else:
         prep["a_rid"] = rid
@@ -457,12 +465,12 @@ def _expand_chunk_jit(prep, t0, *, chunk: int, pack_den: int, emit_key: bool):
     # catastrophe on the TPU toolchain: >12 min for the scan ALONE at 4M
     # elements, vs 7 s for cummax; see tools/compile_probe.py.)
     ei = fill_mono(iota_n)
-    mrank = prep["mid_base"][ei] + (t - excl[ei])
     ok = t < total
     if pack_den:
         mid_pk = prep["mid_pk"]
-        mrank = jnp.clip(mrank, 0, max(mid_pk.shape[0] - 1, 0))
-        a_pk = prep["apk"][ei]
+        g = prep["a_tab"][ei]  # ONE 2-wide row gather: (a operand, mb_off)
+        a_pk = g[:, 0]
+        mrank = jnp.clip(g[:, 1] + t, 0, max(mid_pk.shape[0] - 1, 0))
         b_pk = mid_pk[mrank]
         a_id = a_pk >> _POS_BITS
         b_id = b_pk >> _POS_BITS
@@ -471,7 +479,9 @@ def _expand_chunk_jit(prep, t0, *, chunk: int, pack_den: int, emit_key: bool):
         )
     else:
         m_rid = prep["m_rid"]
-        mrank = jnp.clip(mrank, 0, max(m_rid.shape[0] - 1, 0))
+        mrank = jnp.clip(
+            prep["mb_off"][ei] + t, 0, max(m_rid.shape[0] - 1, 0)
+        )
         a_id, a_loc = prep["a_rid"][ei], prep["a_loc"][ei]
         b_id, b_loc = m_rid[mrank], prep["m_loc"][mrank]
         a_first = a_loc > b_loc  # strict-greater loc leads (:65-71)
@@ -568,27 +578,31 @@ def _finish_packed_jit(
     key_s, min_collisions, max_collisions, *, cap_out: int, with_counts: bool
 ):
     """Sorted packed keys -> run-length counts -> collision-band filter ->
-    compacted (lead, trail, count, n_out).  ONE packed-key scatter
-    (stream-sized random scatters run at gather rate); lead/trail unpack
-    from the compacted table with cheap elementwise ops."""
+    compacted (lead, trail, count, n_out).
+
+    Compaction is BY SORT, not by scatter: kept run representatives carry
+    distinct keys, so one unstable 2-operand sort (masked key, count)
+    moves them to the front already in canonical key order, and the
+    compacted table is a slice.  (The earlier cumsum + two-scatter
+    compaction spent ~0.7 s per stream-sized scatter; the whole sort is
+    ~0.2 s at 84M.)"""
     okv = key_s != _I32_MAX
     fst2 = jnp.where(okv, key_s >> 16, _I32_MAX)
     snd2 = key_s & 0xFFFF
     cnt, keep = _run_length_keep(fst2, snd2, okv, min_collisions, max_collisions)
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     n_out = jnp.sum(keep.astype(jnp.int32))
-    slot = jnp.where(keep, pos, cap_out)
-    keyc = jnp.zeros((cap_out + 1,), jnp.int32).at[slot].set(
-        jnp.where(keep, key_s, 0)
-    )[:cap_out]
+    kmask = jnp.where(keep, key_s, _I32_MAX)
+    key_c, cnt_c = jax.lax.sort(
+        (kmask, jnp.where(keep, cnt, 0)), num_keys=1, is_stable=False
+    )
+    if cap_out > key_c.shape[0]:  # degenerate: cap_out beyond the stream
+        pad = cap_out - key_c.shape[0]
+        key_c = jnp.concatenate([key_c, jnp.full((pad,), _I32_MAX)])
+        cnt_c = jnp.concatenate([cnt_c, jnp.zeros((pad,), jnp.int32)])
+    keyc = jnp.where(key_c[:cap_out] != _I32_MAX, key_c[:cap_out], 0)
     lead = keyc >> 16
     trail = keyc & 0xFFFF
-    if with_counts:
-        ocnt = jnp.zeros((cap_out + 1,), jnp.int32).at[slot].set(
-            jnp.where(keep, cnt, 0)
-        )[:cap_out]
-    else:
-        ocnt = None
+    ocnt = cnt_c[:cap_out] if with_counts else None
     return dict(lead=lead, trail=trail, count=ocnt, n_out=n_out)
 
 
