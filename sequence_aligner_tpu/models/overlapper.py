@@ -94,24 +94,14 @@ def _bucket_indices(lead, lengths, wtab, w, n_out):
     return idx[:cap], incl[cap - 1]
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "bs", "width", "la_max", "cm_tuple", "gO", "gE", "pblk", "kernel",
-    ),
-)
-def _align_chunk(
+def _align_chunk_body(
     bases, lengths, packed, lead, trail, idx, lo, count, *,
     bs: int, width: int, la_max: int, cm_tuple, gO: int, gE: int,
     min_identity, min_overlap, max_ignore, pblk: int, kernel: str,
 ):
-    """Align one fixed-size chunk of a width bucket, fully on device.
-
-    Gathers pair operands from the device-resident pair table via the
-    bucket index array, runs the selected aligner, and returns a stacked
-    [12, bs] int32 result: the 10 OUT_KEYS rows (``valid`` masked to
-    positions < count) plus lead and trail read ids.
-    """
+    """Shared chunk body: gather pair operands from the device-resident
+    pair table via the bucket index array and run the selected aligner.
+    Returns (res dict, lead_c, trail_c, in_range)."""
     sel = jax.lax.dynamic_slice(idx, (lo,), (bs,))
     lead_c = lead[sel]
     trail_c = trail[sel]
@@ -149,14 +139,71 @@ def _align_chunk(
         cm = jnp.asarray(np.asarray(cm_tuple, np.int32).reshape(4, 4))
         res = local_align_batch(ab, al, bb, bl, cm=cm, **kw)
     in_range = (lo + jnp.arange(bs, dtype=jnp.int32)) < count
+    return res, lead_c, trail_c, in_range
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "bs", "width", "la_max", "cm_tuple", "gO", "gE", "pblk", "kernel",
+    ),
+)
+def _align_chunk(
+    bases, lengths, packed, lead, trail, idx, lo, count, *,
+    bs: int, width: int, la_max: int, cm_tuple, gO: int, gE: int,
+    min_identity, min_overlap, max_ignore, pblk: int, kernel: str,
+):
+    """Full per-pair results for one chunk: stacked [bs, 12] int32 — the
+    10 OUT_KEYS rows (``valid`` masked to positions < count) plus lead
+    and trail read ids.  Host-facing surface (``Overlapper._align``)."""
+    res, lead_c, trail_c, in_range = _align_chunk_body(
+        bases, lengths, packed, lead, trail, idx, lo, count,
+        bs=bs, width=width, la_max=la_max, cm_tuple=cm_tuple, gO=gO, gE=gE,
+        min_identity=min_identity, min_overlap=min_overlap,
+        max_ignore=max_ignore, pblk=pblk, kernel=kernel,
+    )
     res = dict(res)
     res["valid"] = res["valid"] & in_range
-    # rows-are-pairs layout [bs, 12]: downstream valid-compaction scatters
-    # whole rows, so no [12, N]->[N, 12] transpose of the giant
-    # concatenated result is ever needed
+    # rows-are-pairs layout [bs, 12]: downstream consumers slice whole
+    # rows, so no [12, N]->[N, 12] transpose is ever needed
     return jnp.concatenate(
         [stack_result(res), lead_c[None, :], trail_c[None, :]], axis=0
     ).T
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "bs", "width", "la_max", "cm_tuple", "gO", "gE", "pblk", "kernel",
+        "vcap",
+    ),
+)
+def _align_chunk_compact(
+    bases, lengths, packed, lead, trail, idx, lo, count, *,
+    bs: int, width: int, la_max: int, cm_tuple, gO: int, gE: int,
+    min_identity, min_overlap, max_ignore, pblk: int, kernel: str,
+    vcap: int,
+):
+    """Production chunk: per-chunk VALID-row compaction on device.
+
+    Returns ([vcap, 4] int32 of (lead, trail, ahg, bhg) for the chunk's
+    valid overlaps, count).  Only ~3% of pairs validate, so this shrinks
+    the align stage's device->host traffic and eliminates the
+    [n_pairs, 12] stacked intermediate entirely (667 MB at 13.9M pairs)."""
+    res, lead_c, trail_c, in_range = _align_chunk_body(
+        bases, lengths, packed, lead, trail, idx, lo, count,
+        bs=bs, width=width, la_max=la_max, cm_tuple=cm_tuple, gO=gO, gE=gE,
+        min_identity=min_identity, min_overlap=min_overlap,
+        max_ignore=max_ignore, pblk=pblk, kernel=kernel,
+    )
+    valid = res["valid"] & in_range
+    cols4 = jnp.stack([lead_c, trail_c, res["ahg"], res["bhg"]], axis=1)
+    incl = jnp.cumsum(valid.astype(jnp.int32))
+    slot = jnp.where(valid, incl - 1, vcap)
+    buf = jnp.zeros((vcap + 1, 4), jnp.int32).at[slot].set(
+        jnp.where(valid[:, None], cols4, 0)
+    )
+    return buf[:vcap], incl[bs - 1]
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -167,26 +214,6 @@ def _stream_update(buf, chunk, lo):
     return jax.lax.dynamic_update_slice(buf, chunk, (lo, jnp.int32(0)))
 
 
-@jax.jit
-def _count_valid(stacked):
-    return jnp.sum((stacked[:, 9] > 0).astype(jnp.int32))
-
-
-@partial(jax.jit, static_argnames=("cap",))
-def _compact_valid(stacked, *, cap: int):
-    """Pack the valid rows' OVL fields (lead, trail, ahg, bhg — columns
-    10, 11, 7, 8) into [cap, 4]: only what the host needs to emit records
-    crosses the device link."""
-    mask = stacked[:, 9] > 0
-    cols = stacked[:, jnp.asarray([10, 11, 7, 8])]
-    incl = jnp.cumsum(mask.astype(jnp.int32))
-    slot = jnp.where(mask, incl - 1, cap)
-    buf = jnp.zeros((cap + 1, 4), jnp.int32).at[slot].set(
-        jnp.where(mask[:, None], cols, 0)
-    )
-    return buf[:cap]
-
-
 class Overlapper:
     """TPU-native overlap engine."""
 
@@ -195,7 +222,7 @@ class Overlapper:
         settings: AlignSettings,
         *,
         fast_dovetail: bool = True,
-        batch_size: int = 1 << 18,
+        batch_size: int = 1 << 20,
         use_pallas: bool | None = None,
     ):
         self.s = settings
@@ -334,7 +361,7 @@ class Overlapper:
             min_overlap=jnp.int32(s.min_overlap),
             max_ignore=jnp.int32(s.max_ignore), kernel=kernel,
         )
-        chunks = []
+        bufs, cnts, retry_args = [], [], []
         for w in widths:
             if kernel == "quad":  # full SW has no band: one bucket of all
                 idx = jnp.arange(lead_dev.shape[0], dtype=jnp.int32)
@@ -346,7 +373,7 @@ class Overlapper:
             cnt_h = n_pairs if len(widths) == 1 else int(cnt)
             if cnt_h == 0:
                 continue
-            bs = min(self.batch_size, _pow2_at_least(cnt_h, 256))
+            bs = min(self.batch_size, _pow2_at_least(cnt_h, 1024))
             # dynamic_slice CLAMPS out-of-range starts: if the chunk grid
             # ceil(cnt_h/bs)*bs overruns idx, the last chunk would silently
             # re-read earlier slots (dropping tail pairs, duplicating
@@ -357,21 +384,53 @@ class Overlapper:
                 idx = jnp.concatenate(
                     [idx, jnp.zeros((need - int(idx.shape[0]),), jnp.int32)]
                 )
+            # per-chunk valid capacity: at production scale ~3% of pairs
+            # validate and 1/8 leaves a wide margin; small inputs can have
+            # majority-valid chunks (crp177: 67%), so below 64k pairs the
+            # buffer just holds everything.  An overfull chunk is counted
+            # and re-run through the full (uncompacted) chunk program.
+            vcap = bs if bs <= (1 << 16) else bs // 8
             for lo in range(0, cnt_h, bs):
-                chunks.append(_align_chunk(
+                buf, cnt_c = _align_chunk_compact(
                     bases_d, lengths_d, packed_d, lead_dev, trail_dev, idx,
                     jnp.int32(lo), cnt,
-                    bs=bs, width=w, pblk=256, **kw,
-                ))
-        stacked = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+                    bs=bs, width=w, pblk=1024, vcap=vcap, **kw,
+                )
+                bufs.append(buf)
+                cnts.append(cnt_c)
+                retry_args.append((idx, lo, cnt, bs, w))
         self.stats.n_alignments = n_pairs
-        n_valid = int(_count_valid(stacked))
+        if not bufs:
+            return empty
+        host_cnt = np.asarray(jnp.stack(cnts))
+        allbuf = bufs[0] if len(bufs) == 1 else jnp.concatenate(bufs, axis=0)
+        host_buf = np.asarray(allbuf)
+        parts = []
+        off = 0
+        for i, c in enumerate(host_cnt):
+            vcap_i = bufs[i].shape[0]
+            c = int(c)
+            if c > vcap_i:  # rare: chunk's valid rows overflowed the cap
+                idx, lo, cnt, bs, w = retry_args[i]
+                printdb(f"align chunk {i}: {c} valid > vcap {vcap_i}; rerun")
+                full = np.asarray(_align_chunk(
+                    bases_d, lengths_d, packed_d, lead_dev, trail_dev, idx,
+                    jnp.int32(lo), cnt, bs=bs, width=w, pblk=1024, **kw,
+                ))
+                rows = full[full[:, 9] > 0]
+                parts.append(rows[:, [10, 11, 7, 8]])
+            else:
+                parts.append(host_buf[off : off + c])
+            off += vcap_i
+        packed_rows = np.concatenate(parts) if parts else np.zeros((0, 4), np.int32)
+        n_valid = int(packed_rows.shape[0])
         self.stats.n_valid = n_valid
         if n_valid == 0:
             return empty
-        cap_v = _pow2_at_least(n_valid, 1 << 10)
-        packed = np.asarray(_compact_valid(stacked, cap=cap_v))[:n_valid]
-        return packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3]
+        return (
+            packed_rows[:, 0], packed_rows[:, 1],
+            packed_rows[:, 2], packed_rows[:, 3],
+        )
 
     def _align(
         self,

@@ -86,6 +86,44 @@ def _branch(mv, xv, yv):
     return jnp.where(mv == mx, 0, jnp.where(xv == mx, 1, 2)), mx
 
 
+def _gated_chain(A, V):
+    """Resolve the in-row recurrence out[k] = A[k] ? out[k-1] : V[k]
+    along the band (sublane) axis by log-doubling composition of gated
+    constant maps f_k(x) = A_k ? x : V_k  (compose: A = A_g & A_f,
+    V = A_g ? V_f : V_g).  Replaces a width-step serialized chain of
+    dependent lane ops — the kernels' dominant stall — with ceil(log2 w)
+    vector steps.  A is an int32 0/1 mask (Mosaic rejects i1 vectors);
+    row 0 must have A == 0, which grounds every composition so shifted-in
+    padding never reaches a live value."""
+    cols, p = A.shape
+    sh = 1
+    while sh < cols:
+        pad = jnp.zeros((sh, p), jnp.int32)
+        A_sh = jnp.concatenate([pad, A[:-sh]], axis=0)
+        V_sh = jnp.concatenate([pad, V[:-sh]], axis=0)
+        V = jnp.where(A == 1, V_sh, V)
+        A = A * A_sh
+        sh *= 2
+    return V
+
+
+def _gated_chain_affine(A, V, b):
+    """Affine variant for the count chain: f_k(x) = A_k ? x + b_k : V_k
+    (compose: A = A_g & A_f, V = A_g ? V_f + b_g : V_g, b = b_g + b_f)."""
+    cols, p = A.shape
+    sh = 1
+    while sh < cols:
+        pad = jnp.zeros((sh, p), jnp.int32)
+        A_sh = jnp.concatenate([pad, A[:-sh]], axis=0)
+        V_sh = jnp.concatenate([pad, V[:-sh]], axis=0)
+        b_sh = jnp.concatenate([pad, b[:-sh]], axis=0)
+        V = jnp.where(A == 1, V_sh + b, V)
+        b = b + b_sh
+        A = A * A_sh
+        sh *= 2
+    return V
+
+
 def _sub_row(a_code, b_codes, cm_tuple, pblk):
     """Substitution scores for one DP row: cm[a, b] with a [P] fixed per
     pair and b [w, P] varying along the band.
@@ -150,15 +188,16 @@ def _phase1_row(carry, i, a_code, *, b_codes, alen, karr, la_max, w, gO, gE, cm_
     selY = jnp.where(cont_i == 1, sp, im1 | karr)
     s0 = jnp.where(br == 0, selM, selY)
 
-    # X branch: pred = (i, k-1) — in-row ascending-k chain (static w)
-    rows = [s0[k] for k in range(cols)]
+    # X branch: pred = (i, k-1) — the in-row recurrence, resolved by the
+    # log-doubling gated chain (row 0 is never X-updated: chain grounded)
     i16 = i << 16
-    for k in range(1, cols):
-        is_x = br[k] == 1
-        left_cont = mx[k - 1] > 0
-        px = jnp.where(left_cont, rows[k - 1], i16 | (k - 1))
-        rows[k] = jnp.where(is_x, px, rows[k])
-    s_new = jnp.stack(rows)
+    is_x = jnp.concatenate(
+        [zrow1, (br[1:] == 1).astype(jnp.int32)], axis=0
+    )
+    lc = jnp.concatenate([zrow1, (mx[:-1] > 0).astype(jnp.int32)], axis=0)
+    xbase = i16 | ((karr - 1) & 0xFFFF)
+    vx = jnp.where(is_x == 1, jnp.where(lc == 1, 0, xbase), s0)
+    s_new = _gated_chain(is_x * lc, vx)
 
     # running max: strict > in row-major scan order, first col wins
     row_t = mx[1:]
@@ -331,19 +370,20 @@ def _phase2_row(
     s0 = jnp.where(sel_cont, sel_st, sel_cell)
     c0 = jnp.where(sel_cont, sel_ct, 0) + dctr
 
-    # X branch: pred = (u, k-1) — in-row ascending-k chain
-    rows_s = [s0[k] for k in range(cols)]
-    rows_c = [c0[k] for k in range(cols)]
+    # X branch: pred = (u, k-1) — the in-row recurrence for both the stop
+    # coords (gated constant maps) and the counts (gated affine maps),
+    # resolved by log-doubling instead of a width-step serialized chain
     u16 = u << 16
-    for k in range(1, cols):
-        is_x = br[k] == 1
-        left_cont = mx[k - 1] > 0
-        px_s = jnp.where(left_cont, rows_s[k - 1], u16 | (k - 1))
-        px_c = jnp.where(left_cont, rows_c[k - 1], 0) + 1
-        rows_s[k] = jnp.where(is_x, px_s, rows_s[k])
-        rows_c[k] = jnp.where(is_x, px_c, rows_c[k])
-    s_new = jnp.stack(rows_s)
-    c_new = jnp.stack(rows_c)
+    is_x = jnp.concatenate(
+        [zrow1, (br[1:] == 1).astype(jnp.int32)], axis=0
+    )
+    lc = jnp.concatenate([zrow1, (mx[:-1] > 0).astype(jnp.int32)], axis=0)
+    ax = is_x * lc
+    xbase = u16 | ((karr - 1) & 0xFFFF)
+    vs = jnp.where(is_x == 1, jnp.where(lc == 1, 0, xbase), s0)
+    vc = jnp.where(is_x == 1, 1, c0)  # X without left-cont: 0 + 1 step
+    s_new = _gated_chain(ax, vs)
+    c_new = _gated_chain_affine(ax, vc, ax)
 
     rb = jnp.max(mx, axis=0)
     kb = jnp.min(jnp.where(mx == rb[None, :], karr, la_max + w + 2), axis=0)
