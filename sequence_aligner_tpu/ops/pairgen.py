@@ -493,24 +493,27 @@ def _expand_chunk_jit(prep, t0, *, chunk: int, pack_den: int, emit_key: bool):
     return fst, snd, ok
 
 
-def _chunk_sizes(cap: int) -> list[int]:
-    """Split a stream capacity into _EXPAND_CHUNK-sized pieces (the tail
-    piece may be smaller; sub-chunk caps are a single piece)."""
-    if cap <= _EXPAND_CHUNK:
+def _chunk_sizes(cap: int, chunk: int | None = None) -> list[int]:
+    """Split a stream capacity into chunk-sized pieces (the tail piece
+    may be smaller; sub-chunk caps are a single piece)."""
+    chunk = _EXPAND_CHUNK if chunk is None else chunk
+    if cap <= chunk:
         return [cap] if cap else []
-    sizes = [_EXPAND_CHUNK] * (cap // _EXPAND_CHUNK)
-    if cap % _EXPAND_CHUNK:
-        sizes.append(cap % _EXPAND_CHUNK)
+    sizes = [chunk] * (cap // chunk)
+    if cap % chunk:
+        sizes.append(cap % chunk)
     return sizes
 
 
-def _expand_stream_chunked(occ_s, edges, *, cap, pack_den, which, emit_key):
+def _expand_stream_chunked(
+    occ_s, edges, *, cap, pack_den, which, emit_key, chunk_size=None
+):
     """One edge class's full stream via the chunked programs.  Returns
     (key [cap], total) when emit_key else (fst, snd, ok, total)."""
     prep = _expand_prep_jit(occ_s, **edges, pack_den=pack_den, which=which)
     pieces = []
     t0 = 0
-    for c in _chunk_sizes(cap):
+    for c in _chunk_sizes(cap, chunk_size):
         pieces.append(_expand_chunk_jit(
             prep, jnp.int32(t0), chunk=c, pack_den=pack_den,
             emit_key=emit_key,
@@ -614,6 +617,43 @@ def _finish_np_jit(fst2, snd2, min_collisions, max_collisions, *, cap_out: int):
     return dict(lead=lead, trail=trail, count=ocnt, n_out=n_out)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cap_head", "cap_tail", "cap_out", "pack_den",
+                     "with_counts", "chunk_size"),
+)
+def _pairgen_fused_jit(
+    occ_s, head_edge, tail_edge, mid_lead, mid_tail,
+    min_collisions, max_collisions, *,
+    cap_head: int, cap_tail: int, cap_out: int, pack_den: int,
+    with_counts: bool, chunk_size: int,
+):
+    """Packed-id pair generation as ONE compiled program: both class
+    expansions, the key sort, run-length counting and sort-compaction
+    fused — saves the split pipeline's inter-program HBM round trips and
+    per-dispatch tunnel latency.  (Safe to fuse now that the
+    associative_scan is gone; the split pieces remain the test, retry
+    and non-packed surfaces.)"""
+    geom = dict(
+        head_edge=head_edge, tail_edge=tail_edge,
+        mid_lead=mid_lead, mid_tail=mid_tail,
+    )
+    key_h, h_tot = _expand_stream_chunked(
+        occ_s, geom, cap=cap_head, pack_den=pack_den, which="head",
+        emit_key=True, chunk_size=chunk_size,
+    )
+    key_t, t_tot = _expand_stream_chunked(
+        occ_s, geom, cap=cap_tail, pack_den=pack_den, which="tail",
+        emit_key=True, chunk_size=chunk_size,
+    )
+    key_s = _sort_keys_jit(key_h, key_t)
+    out = _finish_packed_jit(
+        key_s, min_collisions, max_collisions,
+        cap_out=cap_out, with_counts=with_counts,
+    )
+    return dict(out, h_tot=h_tot, t_tot=t_tot)
+
+
 def candidate_pairs_stream(
     occ,
     *,
@@ -660,19 +700,15 @@ def candidate_pairs_stream(
         mid_lead=mid_lead, mid_tail=mid_tail,
     )
     if packed_ids:
-        key_h, h_tot = _expand_stream_chunked(
-            occ_s, edges, cap=cap_head, pack_den=pack_den, which="head",
-            emit_key=True,
+        fused = _pairgen_fused_jit(
+            occ_s, **edges,
+            min_collisions=min_collisions, max_collisions=max_collisions,
+            cap_head=cap_head, cap_tail=cap_tail, cap_out=cap_out,
+            pack_den=pack_den, with_counts=with_counts,
+            chunk_size=_EXPAND_CHUNK,
         )
-        key_t, t_tot = _expand_stream_chunked(
-            occ_s, edges, cap=cap_tail, pack_den=pack_den, which="tail",
-            emit_key=True,
-        )
-        key_s = _sort_keys_jit(key_h, key_t)
-        out = _finish_packed_jit(
-            key_s, min_collisions, max_collisions,
-            cap_out=cap_out, with_counts=with_counts,
-        )
+        h_tot, t_tot = fused["h_tot"], fused["t_tot"]
+        out = {k: fused[k] for k in ("lead", "trail", "count", "n_out")}
     else:
         h_fst, h_snd, h_ok, h_tot = _expand_stream_chunked(
             occ_s, edges, cap=cap_head, pack_den=pack_den, which="head",

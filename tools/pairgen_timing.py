@@ -35,13 +35,20 @@ def main():
     occ = ov._occurrences(bases, lengths)
     jax.block_until_ready(occ["hash"])
 
+    def sync(out):
+        # block_until_ready does not truly sync through the axon tunnel;
+        # a scalar fetch does
+        leaves = [x for x in jax.tree_util.tree_leaves(out)
+                  if hasattr(x, "reshape")]
+        return int(np.asarray(leaves[0].reshape(-1)[-1]))
+
     def t(label, fn, reps=3):
         out = fn()
-        jax.block_until_ready(out)
+        sync(out)
         t0 = time.time()
         for _ in range(reps):
             out = fn()
-            jax.block_until_ready(out)
+            sync(out)
         print(f"{label:28s}: {(time.time() - t0) / reps * 1e3:9.1f} ms",
               flush=True)
         return out
