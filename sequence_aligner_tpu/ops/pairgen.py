@@ -22,11 +22,20 @@ static capacities and masking:
      src/KmerTable.scala:73), else by a two-pass stable 1-key radix sort;
      run-length counting keeps runs inside [min_collisions, max_collisions].
 
-Performance design (measured on v5e through the axon tunnel): multi-key
-``lax.sort`` compiles 10-50x slower than 1-key sorts, so aggregation uses
-1-key passes only; ``searchsorted(method='scan_unrolled')`` EXECUTES as
-~20 sequential gather passes (25 s at 134M queries), so every join over
-the big pair stream is expressed as scatter + cummax/cummin fills instead.
+Performance design (measured on v5e through the axon tunnel,
+tools/compile_probe.py + tools/pairgen_timing.py):
+
+  * 1-key ``lax.sort`` is the cheapest primitive by far — 167 ms to sort
+    84M keys, ~5 s to compile even at 64M — so aggregation AND compaction
+    are expressed as sorts;
+  * ``searchsorted(method='scan_unrolled')`` EXECUTES as ~20 sequential
+    gather passes (25 s at 134M queries), so the stream join uses one
+    scatter + cummax source-row fill plus gathers instead;
+  * custom-combiner ``lax.associative_scan`` must NEVER appear in device
+    code: it is a compile-time catastrophe on this toolchain (>12 min to
+    compile at 4M elements vs 7 s for cummax) — it singlehandedly made
+    the round-2 monolithic program uncompilable.
+
 All shapes static.
 """
 
@@ -92,7 +101,7 @@ def _run_bounds(h):
         [jnp.ones((1,), jnp.bool_), h[1:] != h[:-1]]
     )
     seg_l = jax.lax.cummax(jnp.where(first, idx, 0))
-    nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(first, idx, _I32_MAX))))
+    nxt = jax.lax.cummin(jnp.where(first, idx, _I32_MAX), reverse=True)
     seg_r = jnp.minimum(
         jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)]), n
     )
@@ -490,13 +499,20 @@ def _expand_chunk_jit(prep, t0, *, chunk: int, pack_den: int, emit_key: bool):
     snd = jnp.where(a_first, b_id, a_id)
     if emit_key:
         return jnp.where(ok, (fst << 16) | snd, _I32_MAX)
-    return fst, snd, ok
+    # masked pair emission: invalid slots carry +inf in BOTH columns so
+    # the radix sorts need no separate ok array
+    return jnp.where(ok, fst, _I32_MAX), jnp.where(ok, snd, _I32_MAX)
 
 
 def _chunk_sizes(cap: int, chunk: int | None = None) -> list[int]:
     """Split a stream capacity into chunk-sized pieces (the tail piece
-    may be smaller; sub-chunk caps are a single piece)."""
+    may be smaller; sub-chunk caps are a single piece).  Very large caps
+    (> 2^26 slots) are always chunked at 2^25 so the expansion program's
+    working set stays ~1.5 GB regardless of dataset scale (a 201M-slot
+    single piece exhausted HBM on the 1M-read run)."""
     chunk = _EXPAND_CHUNK if chunk is None else chunk
+    if cap > (1 << 26):
+        chunk = min(chunk, 1 << 25)
     if cap <= chunk:
         return [cap] if cap else []
     sizes = [chunk] * (cap // chunk)
@@ -526,11 +542,10 @@ def _expand_stream_chunked(
         return key, prep["total"]
     if not pieces:
         z = jnp.zeros((0,), jnp.int32)
-        return z, z, jnp.zeros((0,), jnp.bool_), prep["total"]
+        return z, z, prep["total"]
     fst = jnp.concatenate([p[0] for p in pieces])
     snd = jnp.concatenate([p[1] for p in pieces])
-    ok = jnp.concatenate([p[2] for p in pieces])
-    return fst, snd, ok, prep["total"]
+    return fst, snd, prep["total"]
 
 
 @jax.jit
@@ -542,15 +557,14 @@ def _sort_keys_jit(key_h, key_t):
     )[0]
 
 
-@jax.jit
-def _sort_pairs_np_jit(h_fst, h_snd, h_ok, t_fst, t_snd, t_ok):
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _sort_pairs_np_jit(h_fst, h_snd, t_fst, t_snd):
     """Radix aggregation for the general-id path: stable sort by snd,
-    then stable sort by fst (invalid rows carry +inf keys and sink)."""
-    fst = jnp.concatenate([h_fst, t_fst])
-    snd = jnp.concatenate([h_snd, t_snd])
-    ok = jnp.concatenate([h_ok, t_ok])
-    fstm = jnp.where(ok, fst, _I32_MAX)
-    key1 = jnp.where(ok, snd, _I32_MAX)
+    then stable sort by fst.  Operands arrive pre-masked (invalid rows
+    carry +inf in both columns and sink) and are donated — at 1M-read
+    caps they are multi-GB and die here."""
+    fstm = jnp.concatenate([h_fst, t_fst])
+    key1 = jnp.concatenate([h_snd, t_snd])
     key1, fstm = jax.lax.sort((key1, fstm), num_keys=1, is_stable=True)
     fst2, snd2 = jax.lax.sort((fstm, key1), num_keys=1, is_stable=True)
     return fst2, snd2
@@ -559,7 +573,9 @@ def _sort_pairs_np_jit(h_fst, h_snd, h_ok, t_fst, t_snd, t_ok):
 def _run_length_keep(fst2, snd2, okv, min_collisions, max_collisions):
     """Run-length counts via forward/backward run-boundary fills; keep =
     run representative with count inside the collision band
-    (src/KmerTable.scala:155-187)."""
+    (src/KmerTable.scala:155-187).  The backward fill uses
+    ``cummin(reverse=True)`` — ``jnp.flip`` materializes full-stream
+    copies (2 x 1.6 GB at 1M-read caps) that pushed the finish past HBM."""
     n = fst2.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate(
@@ -569,7 +585,7 @@ def _run_length_keep(fst2, snd2, okv, min_collisions, max_collisions):
         ]
     )
     start_fill = jax.lax.cummax(jnp.where(first, idx, 0))
-    nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(first, idx, _I32_MAX))))
+    nxt = jax.lax.cummin(jnp.where(first, idx, _I32_MAX), reverse=True)
     nxt = jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)])
     cnt = jnp.minimum(nxt, n) - start_fill  # exact at run-start positions
     keep = first & okv & (min_collisions <= cnt) & (cnt <= max_collisions)
@@ -609,10 +625,29 @@ def _finish_packed_jit(
     return dict(lead=lead, trail=trail, count=ocnt, n_out=n_out)
 
 
-@partial(jax.jit, static_argnames=("cap_out",))
-def _finish_np_jit(fst2, snd2, min_collisions, max_collisions, *, cap_out: int):
+def _finish_cap(n: int, floor: int = 1 << 14) -> int:
+    """Capacity tier for the exact kept count (pow2/8 steps)."""
+    c = floor
+    while c < n:
+        c += max(c // 8, 1)
+    return c
+
+
+@jax.jit
+def _np_keep_count_jit(fst2, snd2, min_collisions, max_collisions):
+    """Run-length pass for the general-id path: (n_keep, cnt, keep).
+    The scalar n_keep sizes the compaction exactly (the raw_total-based
+    bound on cap_out over-reserves by >10x); cnt/keep feed the compaction
+    so the scans never re-run."""
     okv = fst2 != _I32_MAX
     cnt, keep = _run_length_keep(fst2, snd2, okv, min_collisions, max_collisions)
+    return jnp.sum(keep.astype(jnp.int32)), cnt, keep
+
+
+@partial(
+    jax.jit, static_argnames=("cap_out",), donate_argnums=(0, 1, 2, 3)
+)
+def _finish_np_jit(fst2, snd2, cnt, keep, *, cap_out: int):
     lead, trail, ocnt, n_out = compact_pairs(fst2, snd2, cnt, keep, cap_out)
     return dict(lead=lead, trail=trail, count=ocnt, n_out=n_out)
 
@@ -710,17 +745,32 @@ def candidate_pairs_stream(
         h_tot, t_tot = fused["h_tot"], fused["t_tot"]
         out = {k: fused[k] for k in ("lead", "trail", "count", "n_out")}
     else:
-        h_fst, h_snd, h_ok, h_tot = _expand_stream_chunked(
+        h_fst, h_snd, h_tot = _expand_stream_chunked(
             occ_s, edges, cap=cap_head, pack_den=pack_den, which="head",
             emit_key=False,
         )
-        t_fst, t_snd, t_ok, t_tot = _expand_stream_chunked(
+        t_fst, t_snd, t_tot = _expand_stream_chunked(
             occ_s, edges, cap=cap_tail, pack_den=pack_den, which="tail",
             emit_key=False,
         )
-        fst2, snd2 = _sort_pairs_np_jit(h_fst, h_snd, h_ok, t_fst, t_snd, t_ok)
-        out = _finish_np_jit(
-            fst2, snd2, min_collisions, max_collisions, cap_out=cap_out
+        import warnings
+
+        with warnings.catch_warnings():
+            # CPU cannot honor the donation; the warning is expected noise
+            warnings.filterwarnings(
+                "ignore", message="Some donated buffers were not usable"
+            )
+            fst2, snd2 = _sort_pairs_np_jit(h_fst, h_snd, t_fst, t_snd)
+        # size the compaction from the TRUE kept count (one scalar
+        # fetch): raw_total // min_collisions over-reserves by >10x
+        n_keep_dev, cnt, keep = _np_keep_count_jit(
+            fst2, snd2, min_collisions, max_collisions
         )
+        cap_eff = min(cap_out, _finish_cap(int(n_keep_dev)))
+        with warnings.catch_warnings():
+            warnings.filterwarnings(
+                "ignore", message="Some donated buffers were not usable"
+            )
+            out = _finish_np_jit(fst2, snd2, cnt, keep, cap_out=cap_eff)
     overflow = (h_tot > cap_head) | (t_tot > cap_tail) | (out["n_out"] > cap_out)
     return dict(out, h_tot=h_tot, t_tot=t_tot, overflow=overflow)
