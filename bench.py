@@ -29,6 +29,9 @@ import threading
 import time
 
 BASELINE_READS_PER_S = 32000.0 / 1200.0
+# the bundled AMOS hash-overlap C++ binary, single x86 core, same 32k
+# dataset: ~71 s end-to-end (tests/test_differential.py's timed run)
+HASH_OVERLAP_READS_PER_S = 450.0
 
 N_READS = int(os.environ.get("BENCH_READS", "32000"))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", "100"))
@@ -125,24 +128,27 @@ def main():
     s = AlignSettings.amos_parity()
 
     # warmup pass: triggers all compiles at the exact production shapes
+    # (run_arrays is the production emission surface: canonical arrays
+    # straight to the native {OVL} writer, no per-record objects)
     t0 = time.time()
     ov = Overlapper(s)
-    recs = ov.run(seqs)
+    arrs = ov.run_arrays(seqs)
     warm_t = time.time() - t0
-    log(f"warmup: {len(recs)} records in {warm_t:.1f}s "
+    log(f"warmup: {len(arrs[0])} records in {warm_t:.1f}s "
         f"(includes compiles) stats={ov.stats}")
     stages_w = {k: round(v, 3) for k, v in ov.timer.stages.items()}
     _update(
         len(seqs) / warm_t, stages_w,
-        dict(partial="warmup_only", n_records=len(recs),
+        dict(partial="warmup_only", n_records=len(arrs[0]),
              n_candidate_pairs=ov.stats.n_alignments),
     )
 
     # timed pass
     ov = Overlapper(s)
     t0 = time.time()
-    recs = ov.run(seqs)
+    arrs = ov.run_arrays(seqs)
     elapsed = time.time() - t0
+    recs = arrs[0]
     rps = len(seqs) / elapsed
     log(f"timed: {len(recs)} records in {elapsed:.2f}s -> {rps:.1f} reads/s")
     stages = {k: round(v, 3) for k, v in ov.timer.stages.items()}
@@ -160,11 +166,20 @@ def main():
         f"{cells_s / 1e9:.2f}G cells/s (~{vpu_util * 100:.1f}% of v5e VPU peak "
         f"at ~12 int32 ops/cell)")
 
+    # honest second baseline: the bundled AMOS hash-overlap C++ binary
+    # does the same 32k dataset in ~71 s on one x86 core (~450 reads/s,
+    # measured in tests/test_differential.py) — quote both comparisons
+    vs_cpp = rps / HASH_OVERLAP_READS_PER_S
+    log(f"vs baselines: {rps / BASELINE_READS_PER_S:.1f}x the reference "
+        f"Scala/JVM overlapper (26.7 reads/s), {vs_cpp:.1f}x single-core "
+        f"AMOS hash-overlap C++ (~450 reads/s)")
+
     RESULT.pop("partial", None)
     _update(rps, stages, dict(
         dp_cells_per_sec=round(cells_s),
         n_candidate_pairs=ov.stats.n_alignments,
         n_records=len(recs),
+        vs_hash_overlap_cpp=round(vs_cpp, 2),
     ))
     signal.alarm(0)
     flush_result()

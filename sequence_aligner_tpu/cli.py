@@ -232,14 +232,24 @@ def main(argv: list[str] | None = None) -> int:
         set_debug(True)
 
     if act == "calc-overlaps":
-        from sequence_aligner_tpu.io.ovl import write_ovl
+        from sequence_aligner_tpu.io.ovl import write_ovl, write_ovl_arrays
         from sequence_aligner_tpu.utils.profiling import trace_profile
 
         with trace_profile(o.profile_dir or None):
-            recs = _overlap_records(o, s)
-        write_ovl(recs, o.output or None)
+            if o.engine == "device":
+                # array-native production path: engine arrays feed the
+                # native {OVL} writer, no per-record objects
+                from sequence_aligner_tpu.models.overlapper import Overlapper
+
+                arrs = Overlapper(
+                    s, fast_dovetail=o.fast_dovetail, batch_size=o.batch_size
+                ).run_arrays(_read(o))
+                n = write_ovl_arrays(arrs, o.output or None)
+            else:
+                recs = _overlap_records(o, s)
+                n = write_ovl(recs, o.output or None)
         if o.debug:
-            print(f"# wrote {len(recs)} overlaps", file=sys.stderr)
+            print(f"# wrote {n} overlaps", file=sys.stderr)
 
     elif act == "pipeline":
         from sequence_aligner_tpu.pipeline.driver import run_amos_pipeline

@@ -94,7 +94,13 @@ class OverlapRecord:
     def bulk_build(cls, id_a, id_b, ahg, bhg) -> list["OverlapRecord"]:
         """Construct many records from parallel int sequences, bypassing
         the frozen-dataclass __init__ (six object.__setattr__ calls per
-        record made emission the third-largest stage at 383k records)."""
+        record made emission the third-largest stage at 383k records).
+
+        The bypass assumes a plain frozen dataclass: no __slots__ (records
+        need a __dict__) and no __post_init__/validation to skip."""
+        assert "__slots__" not in cls.__dict__ and not hasattr(
+            cls, "__post_init__"
+        ), "bulk_build bypasses __init__; it cannot honor slots/__post_init__"
         new = object.__new__
         out = []
         append = out.append

@@ -1,7 +1,5 @@
 from sequence_aligner_tpu.dist.init import (
-    distributed_mesh, initialize_distributed, process_local_block,
+    distributed_mesh, initialize_distributed,
 )
 
-__all__ = [
-    "initialize_distributed", "distributed_mesh", "process_local_block",
-]
+__all__ = ["initialize_distributed", "distributed_mesh"]

@@ -15,7 +15,7 @@ import os
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 
 def initialize_distributed(
@@ -55,30 +55,3 @@ def distributed_mesh(axis: str = "shard") -> Mesh:
     sharded array land on their owning process."""
     devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
     return Mesh(np.asarray(devs), (axis,))
-
-
-def process_local_block(mesh: Mesh, global_arr: np.ndarray, axis: str = "shard"):
-    """Build a globally-sharded device array from host data.
-
-    Every process passes the SAME global array (cheap for read metadata;
-    for huge inputs each process may pass only its block — see
-    ``jax.make_array_from_process_local_data``).  Rows are split evenly
-    over the mesh axis; this process contributes the rows its devices own.
-    """
-    sharding = NamedSharding(mesh, P(axis))
-    n = global_arr.shape[0]
-    n_dev = mesh.devices.size
-    assert n % n_dev == 0, (n, n_dev)
-    per = n // n_dev
-    local_devs = [d for d in mesh.devices.flat if d.process_index == jax.process_index()]
-    shards = []
-    for d in mesh.devices.flat:
-        if d.process_index != jax.process_index():
-            continue
-        pos = list(mesh.devices.flat).index(d)
-        shards.append(
-            jax.device_put(global_arr[pos * per : (pos + 1) * per], d)
-        )
-    return jax.make_array_from_single_device_arrays(
-        global_arr.shape, sharding, shards
-    )

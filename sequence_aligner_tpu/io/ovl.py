@@ -50,6 +50,31 @@ def write_ovl(records: Iterable[OverlapRecord], path: str | None = None) -> int:
     return len(recs)
 
 
+def write_ovl_arrays(arrs, path: str | None = None) -> int:
+    """Array-native {OVL} emission: (lead, trail, ahg, bhg) int sequences
+    -> file (native C++ formatter when available) or stdout.  The
+    production path — no per-record Python objects are ever built.
+    Returns the record count."""
+    lead, trail, ahg, bhg = arrs
+    n = len(lead)
+    if path is not None and n:
+        from sequence_aligner_tpu.native import ovl_write_native
+
+        if ovl_write_native(path, lead, trail, ahg, bhg) is not None:
+            return n
+    lines = [
+        f"{{OVL\nadj:N\nrds:{a},{b}\nscr:0\nahg:{h}\nbhg:{g}\n}}\n"
+        for a, b, h, g in zip(lead, trail, ahg, bhg)
+    ]
+    text = "".join(lines)
+    if path is None:
+        sys.stdout.write(text)
+    else:
+        with open(path, "w") as f:
+            f.write(text)
+    return n
+
+
 def parse_ovl(path_or_text: str, *, is_text: bool = False) -> list[OverlapRecord]:
     """Parse an AMOS OVL message file into records."""
     text = path_or_text if is_text else open(path_or_text).read()

@@ -26,6 +26,7 @@ thousands of pairs per kernel launch with uniform band geometry.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -114,6 +115,7 @@ def _align_chunk_body(
     if kernel == "fused":
         from sequence_aligner_tpu.ops.align_fused import (
             _dove_shift_packed, _fused_core, _fused_core_packed, _interpret,
+            kernel_interpret,
         )
 
         if not _interpret():
@@ -123,7 +125,8 @@ def _align_chunk_body(
             res = _fused_core_packed(
                 packed[a_idx].T, packed[b_idx].T,
                 lengths[a_idx], lengths[b_idx],
-                cm_tuple=cm_tuple, width=width, pblk=pblk, **kw,
+                cm_tuple=cm_tuple, width=width, pblk=pblk,
+                interpret=kernel_interpret(), **kw,
             )
         else:
             a_t = bases[a_idx].astype(jnp.int32).T
@@ -223,15 +226,15 @@ class Overlapper:
         *,
         fast_dovetail: bool = True,
         batch_size: int = 1 << 20,
-        use_pallas: bool | None = None,
     ):
         self.s = settings
         self.fast_dovetail = fast_dovetail
         self.batch_size = batch_size
-        # retained for API compatibility: the fused kernels dispatch by
-        # backend themselves (Pallas on TPU, the same row steps under
-        # lax.scan elsewhere)
-        self.use_pallas = use_pallas
+        # packed pairgen as split dispatches instead of the fused monolith
+        # (env override for A/B timing; retries always use the split path)
+        self.pairgen_split = bool(
+            int(os.environ.get("SEQALIGN_PAIRGEN_SPLIT", "0"))
+        )
         self.stats = OverlapStats()
         self.timer = StageTimer()
 
@@ -289,6 +292,7 @@ class Overlapper:
         packed = getattr(self, "_max_read_id", 1 << 15) < (1 << 15)
         # uniform-read-length fast path: 3 gathers/slot instead of 6
         pack_den = getattr(self, "_uniform_den", 0)
+        attempt = 0
         while True:
             out = candidate_pairs_stream(
                 occ_s, **geom,
@@ -296,14 +300,20 @@ class Overlapper:
                 max_collisions=jnp.int32(s.max_collisions),
                 cap_head=cap_head, cap_tail=cap_tail, cap_out=cap_out,
                 presorted=True, packed_ids=packed, pack_den=pack_den,
+                # retries run the split pieces so only the small finish
+                # program recompiles at the doubled cap_out (the fused
+                # monolith bakes cap_out in — recompiling it is the shape
+                # that once SIGKILLed the remote compile helper)
+                packed_split=self.pairgen_split or attempt > 0,
             )
             if not bool(out["overflow"]):
                 break
             printdb(
                 f"pairgen: cap_out={cap_out} overflow — retrying at "
-                f"{cap_out * 2} (full recompile)"
+                f"{cap_out * 2} via the split pipeline"
             )
             cap_out *= 2  # unreachable with the bound above; kept as a net
+            attempt += 1
         n_out = int(out["n_out"])
         # the packed-key scatter silently drops slots >= cap_out; the
         # overflow flag must have caught that, but a wrong n_out here would
@@ -374,7 +384,14 @@ class Overlapper:
             cnt_h = n_pairs if len(widths) == 1 else int(cnt)
             if cnt_h == 0:
                 continue
-            bs = min(self.batch_size, _pow2_at_least(cnt_h, 1024))
+            # pow2 lane-aligned batch, floor 128: the kernels launch
+            # grid=(bs // pblk,), so bs < pblk (e.g. --single-align's
+            # batch_size=1) would be a ZERO-size grid returning
+            # uninitialized buffers; clamp both sides
+            bs = _pow2_at_least(
+                min(self.batch_size, _pow2_at_least(cnt_h, 1024)), 128
+            )
+            pblk = min(1024, bs)
             # dynamic_slice CLAMPS out-of-range starts: if the chunk grid
             # ceil(cnt_h/bs)*bs overruns idx, the last chunk would silently
             # re-read earlier slots (dropping tail pairs, duplicating
@@ -389,17 +406,20 @@ class Overlapper:
             # validate and 1/8 leaves a wide margin; small inputs can have
             # majority-valid chunks (crp177: 67%), so below 64k pairs the
             # buffer just holds everything.  An overfull chunk is counted
-            # and re-run through the full (uncompacted) chunk program.
+            # and re-run through the compact program at a grown vcap tier
+            # (the round-3 full-result retry fetched [bs, 12] — 48 MB per
+            # 1M-pair chunk through the tunnel — and made the 100k-read
+            # artifact's align stage 5x slower than the kernels).
             vcap = bs if bs <= (1 << 16) else bs // 8
             for lo in range(0, cnt_h, bs):
                 buf, cnt_c = _align_chunk_compact(
                     bases_d, lengths_d, packed_d, lead_dev, trail_dev, idx,
                     jnp.int32(lo), cnt,
-                    bs=bs, width=w, pblk=1024, vcap=vcap, **kw,
+                    bs=bs, width=w, pblk=pblk, vcap=vcap, **kw,
                 )
                 bufs.append(buf)
                 cnts.append(cnt_c)
-                retry_args.append((idx, lo, cnt, bs, w))
+                retry_args.append((idx, lo, cnt, bs, w, pblk))
         self.stats.n_alignments = n_pairs
         if not bufs:
             return empty
@@ -412,14 +432,15 @@ class Overlapper:
             vcap_i = bufs[i].shape[0]
             c = int(c)
             if c > vcap_i:  # rare: chunk's valid rows overflowed the cap
-                idx, lo, cnt, bs, w = retry_args[i]
+                idx, lo, cnt, bs, w, pblk = retry_args[i]
                 printdb(f"align chunk {i}: {c} valid > vcap {vcap_i}; rerun")
-                full = np.asarray(_align_chunk(
+                vcap2 = min(bs, _pow2_at_least(c, 1 << 16))
+                buf2, _ = _align_chunk_compact(
                     bases_d, lengths_d, packed_d, lead_dev, trail_dev, idx,
-                    jnp.int32(lo), cnt, bs=bs, width=w, pblk=1024, **kw,
-                ))
-                rows = full[full[:, 9] > 0]
-                parts.append(rows[:, [10, 11, 7, 8]])
+                    jnp.int32(lo), cnt, bs=bs, width=w, pblk=pblk,
+                    vcap=vcap2, **kw,
+                )
+                parts.append(np.asarray(buf2)[:c])
             else:
                 parts.append(host_buf[off : off + c])
             off += vcap_i
@@ -471,7 +492,12 @@ class Overlapper:
         trail_dev = jnp.asarray(trail.astype(np.int32))
         for w in np.unique(widths):
             idxs = np.nonzero(widths == w)[0].astype(np.int32)
-            bs = min(self.batch_size, _pow2_at_least(len(idxs), 256))
+            # lane-aligned pow2 batch >= 128 (zero-grid guard, as in
+            # _align_device) with the lane block clamped to the batch
+            bs = _pow2_at_least(
+                min(self.batch_size, _pow2_at_least(len(idxs), 256)), 128
+            )
+            pblk = min(256, bs)
             pad = (-len(idxs)) % bs
             idx_dev = jnp.asarray(np.concatenate(
                 [idxs, np.repeat(idxs[-1:], pad)]
@@ -480,7 +506,7 @@ class Overlapper:
                 res = _align_chunk(
                     bases_d, lengths_d, packed_d, lead_dev, trail_dev,
                     idx_dev, jnp.int32(lo), jnp.int32(len(idxs)),
-                    bs=bs, width=int(w), pblk=256, **kw,
+                    bs=bs, width=int(w), pblk=pblk, **kw,
                 )
                 host = np.asarray(res)  # [bs, 12]
                 chunk = idxs[lo : lo + bs]
@@ -493,6 +519,19 @@ class Overlapper:
 
     # ---- full pipeline ----
     def run(self, path_or_seqs: str | list[Sequence]) -> list[OverlapRecord]:
+        """Full pipeline to OverlapRecord objects (API/test surface; the
+        production emit path is ``run_arrays`` -> io.ovl.write_ovl_arrays,
+        which never builds per-record Python objects)."""
+        return self._to_records(self.run_arrays(path_or_seqs))
+
+    def _to_records(self, arrs) -> list[OverlapRecord]:
+        with self.timer.stage("emit.records"):
+            cols = [np.asarray(c).tolist() for c in arrs]
+            return OverlapRecord.bulk_build(*cols)
+
+    def run_arrays(self, path_or_seqs: str | list[Sequence]):
+        """Full pipeline to canonical (lead, trail, ahg, bhg) int32 arrays
+        sorted by (lead, trail) — the array-native emission surface."""
         with self.timer.stage("encode"):
             if isinstance(path_or_seqs, str):
                 from sequence_aligner_tpu.native import fasta_encode_native
@@ -516,7 +555,13 @@ class Overlapper:
     def run_stream(
         self, path: str, *, chunk_reads: int = 1 << 15
     ) -> list[OverlapRecord]:
-        """Streamed variant of ``run``: the read matrix is assembled on
+        """Streamed variant of ``run`` (record objects)."""
+        return self._to_records(
+            self.run_stream_arrays(path, chunk_reads=chunk_reads)
+        )
+
+    def run_stream_arrays(self, path: str, *, chunk_reads: int = 1 << 15):
+        """Streamed variant of ``run_arrays``: the read matrix is assembled on
         DEVICE chunk by chunk (donated dynamic_update_slice), so peak host
         memory is O(chunk_reads * l_max) regardless of input size and
         uploads overlap with host parsing of the next chunk (JAX dispatch
@@ -547,11 +592,10 @@ class Overlapper:
             assert lo == n_input, (lo, n_input)
         return self._run_encoded(buf, lengths, n_input)
 
-    def _run_encoded(
-        self, bases, lengths: np.ndarray, n_input: int
-    ) -> list[OverlapRecord]:
-        """Post-encode stages; ``bases`` may be a host or device array of
-        the padded [n_tier, L] read codes, ``lengths`` the host lengths."""
+    def _run_encoded(self, bases, lengths: np.ndarray, n_input: int):
+        """Post-encode stages -> canonical (lead, trail, ahg, bhg) arrays;
+        ``bases`` may be a host or device array of the padded [n_tier, L]
+        read codes, ``lengths`` the host lengths."""
         self.stats.n_reads = n_input
         with self.timer.stage("kmer"):
             occ = self._occurrences(bases, lengths)
@@ -571,12 +615,14 @@ class Overlapper:
             else:
                 lead_v = trail_v = ahg_v = bhg_v = np.zeros(0, np.int32)
         with self.timer.stage("emit"):
-            # canonical order via one vectorized lexsort; plain-int lists
-            # (tolist) so record construction avoids 4 np-scalar casts each
+            # canonical (lead, trail) order via one vectorized lexsort;
+            # the arrays go straight to the native OVL writer — no
+            # per-record Python objects on the production path
             order = np.lexsort((trail_v, lead_v))
-            cols = [np.asarray(c)[order].tolist()
-                    for c in (lead_v, trail_v, ahg_v, bhg_v)]
-            records = OverlapRecord.bulk_build(*cols)
+            arrs = tuple(
+                np.ascontiguousarray(np.asarray(c)[order])
+                for c in (lead_v, trail_v, ahg_v, bhg_v)
+            )
         printdb(self.timer.report())
         if debug_enabled():
             from sequence_aligner_tpu.utils.profiling import (
@@ -584,4 +630,4 @@ class Overlapper:
             )
 
             printdb(f"device memory: {device_memory_stats()}")
-        return records
+        return arrs

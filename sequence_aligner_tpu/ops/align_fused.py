@@ -57,10 +57,24 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -(2**30)  # python int: jnp scalars become captured consts in kernels
 
 
+# Tests flip this to route the engines through the packed Pallas kernels
+# under the Pallas interpreter on CPU (covers the TPU-only code paths —
+# grid sizing, packed unpack, in-kernel dove shift — in CPU CI).
+FORCE_PACKED_INTERPRET = False
+
+
 def _interpret() -> bool:
     """Non-TPU backends take the lax.scan formulation of the same row
     steps (Pallas interpret mode is far slower than compiled scans)."""
+    if FORCE_PACKED_INTERPRET:
+        return False
     return jax.default_backend() != "tpu"
+
+
+def kernel_interpret() -> bool:
+    """interpret= value for the packed kernels: True only when a non-TPU
+    backend was forced onto the packed path (tests)."""
+    return FORCE_PACKED_INTERPRET and jax.default_backend() != "tpu"
 
 
 def _max3(a, b, c):
@@ -532,6 +546,9 @@ def phase1_fused_packed(
     never exist.  ``interpret=True`` runs the SAME kernel under the Pallas
     interpreter so CPU CI covers the TPU kernel code."""
     p = aw_t.shape[1]
+    # a pblk > p would launch a zero-size grid and return uninitialized
+    # buffers — callers clamp (models/overlapper.py), this fails loudly
+    assert p >= pblk and p % pblk == 0, (p, pblk)
     wpr, wpr_b = aw_t.shape[0], bw_t.shape[0]
     kernel = functools.partial(
         _phase1_packed_kernel, la_max=la_max, w=w, gO=gO, gE=gE,
@@ -564,6 +581,7 @@ def phase2_fused_packed(
 ):
     """Phase 2 from packed words with the in-kernel dove shift."""
     p = aw_t.shape[1]
+    assert p >= pblk and p % pblk == 0, (p, pblk)
     wpr, wpr_b = aw_t.shape[0], bw_t.shape[0]
     kernel = functools.partial(
         _phase2_packed_kernel, la_max=la_max, w=w, zero_row=zero_row,
@@ -783,7 +801,9 @@ def fast_dovetail_batch_fused(
     if not _interpret():  # TPU: packed-word Pallas kernels
         aw_t = pack_reads_le(a_bases).T
         bw_t = pack_reads_le(b_bases).T
-        return _fused_core_packed(aw_t, bw_t, a_len, b_len, **kw)
+        return _fused_core_packed(
+            aw_t, bw_t, a_len, b_len, interpret=kernel_interpret(), **kw
+        )
 
     a_t = a_bases.astype(jnp.int32).T
     b_t = b_bases.astype(jnp.int32).T
@@ -797,36 +817,3 @@ def fast_dovetail_batch_fused(
     return _fused_core(a_t, b_t, a_len, b_len, shift_flat, **kw)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("la_max", "lb_max", "width", "cm_tuple", "gO", "gE", "pblk"),
-)
-def fast_dovetail_batch_fused_idx(
-    bases, lengths, packed, a_idx, b_idx, *,
-    cm_tuple, gO, gE, min_identity, min_overlap, max_ignore,
-    la_max: int, lb_max: int, width: int, pblk: int = 256,
-):
-    """Device-resident variant: reads stay on device ([N, L] codes plus
-    their pack_reads_le words), per-pair operands are row-gathered from
-    int32 pair-index vectors.  On TPU only the packed WORDS are gathered
-    (16x fewer elements) and the kernels unpack in VMEM; elsewhere the
-    code-plane scan path runs with the packed dove shift.
-    Returns the OUT_KEYS-stacked [10, P] int32 result."""
-    from sequence_aligner_tpu.ops.align_lax import stack_result
-
-    kw = dict(
-        cm_tuple=cm_tuple, gO=gO, gE=gE, min_identity=min_identity,
-        min_overlap=min_overlap, max_ignore=max_ignore,
-        la_max=la_max, lb_max=lb_max, width=width, pblk=pblk,
-    )
-    if not _interpret():
-        return stack_result(_fused_core_packed(
-            packed[a_idx].T, packed[b_idx].T,
-            lengths[a_idx], lengths[b_idx], **kw,
-        ))
-    a_t = bases[a_idx].astype(jnp.int32).T
-    b_t = bases[b_idx].astype(jnp.int32).T
-    shift_fn = lambda ds: _dove_shift_packed(packed, a_idx, ds, la_max)
-    return stack_result(_fused_core(
-        a_t, b_t, lengths[a_idx], lengths[b_idx], shift_fn, **kw,
-    ))

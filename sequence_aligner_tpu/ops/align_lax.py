@@ -199,21 +199,6 @@ def _traceback(
 
 
 @partial(jax.jit, static_argnames=("la_max", "lb_max"))
-def local_align_batch_idx(
-    bases, lengths, a_idx, b_idx, *,
-    cm, gO, gE, min_identity, min_overlap, max_ignore,
-    la_max: int, lb_max: int,
-):
-    """Device-resident variant of ``local_align_batch`` (stacked result)."""
-    return stack_result(local_align_batch(
-        bases[a_idx], lengths[a_idx], bases[b_idx], lengths[b_idx],
-        cm=cm, gO=gO, gE=gE, min_identity=min_identity,
-        min_overlap=min_overlap, max_ignore=max_ignore,
-        la_max=la_max, lb_max=lb_max,
-    ))
-
-
-@partial(jax.jit, static_argnames=("la_max", "lb_max"))
 def local_align_batch(
     a_bases, a_len, b_bases, b_len, *,
     cm, gO, gE, min_identity, min_overlap, max_ignore,

@@ -354,8 +354,11 @@ def plan_totals(occ_sorted, **geom) -> tuple[int, int]:
 #   * each program compiles independently in minutes, not an hour-plus;
 #   * head and tail classes share ONE compiled expansion program
 #     (identical caps);
-#   * the cap_out overflow retry recompiles only the small finish
-#     program, never the expansion or the sort.
+#   * in the split pipeline a cap_out overflow retry recompiles only the
+#     small finish program, never the expansion or the sort.  (The packed
+#     FUSED program bakes cap_out in, so its retry path falls back to the
+#     split pieces — see candidate_pairs_stream's packed_split handling —
+#     instead of recompiling the monolith.)
 # ---------------------------------------------------------------------------
 
 
@@ -525,7 +528,9 @@ def _expand_stream_chunked(
     occ_s, edges, *, cap, pack_den, which, emit_key, chunk_size=None
 ):
     """One edge class's full stream via the chunked programs.  Returns
-    (key [cap], total) when emit_key else (fst, snd, ok, total)."""
+    (key [cap], total) when emit_key else (fst, snd, total) — validity is
+    encoded as _I32_MAX sentinels in BOTH pair columns (invalid slots sink
+    in the radix sorts without a separate ok array)."""
     prep = _expand_prep_jit(occ_s, **edges, pack_den=pack_den, which=which)
     pieces = []
     t0 = 0
@@ -705,6 +710,7 @@ def candidate_pairs_stream(
     packed_ids: bool = False,
     pack_den: int = 0,
     with_counts: bool = True,
+    packed_split: bool = False,
 ):
     """Global-stream candidate generation (the single-chip fast path).
 
@@ -734,7 +740,23 @@ def candidate_pairs_stream(
         head_edge=head_edge, tail_edge=tail_edge,
         mid_lead=mid_lead, mid_tail=mid_tail,
     )
-    if packed_ids:
+    if packed_ids and packed_split:
+        # split pieces as SEPARATE dispatches: overflow retries touch only
+        # the finish program, and each piece compiles independently
+        key_h, h_tot = _expand_stream_chunked(
+            occ_s, edges, cap=cap_head, pack_den=pack_den, which="head",
+            emit_key=True,
+        )
+        key_t, t_tot = _expand_stream_chunked(
+            occ_s, edges, cap=cap_tail, pack_den=pack_den, which="tail",
+            emit_key=True,
+        )
+        key_s = _sort_keys_jit(key_h, key_t)
+        out = _finish_packed_jit(
+            key_s, min_collisions, max_collisions,
+            cap_out=cap_out, with_counts=with_counts,
+        )
+    elif packed_ids:
         fused = _pairgen_fused_jit(
             occ_s, **edges,
             min_collisions=min_collisions, max_collisions=max_collisions,

@@ -89,3 +89,14 @@ def test_alignment_validity():
     )
     assert d.valid(s)
     assert not OverlapRecord.from_alignment(d).hang_valid(s)
+
+
+def test_bulk_build_matches_constructor():
+    """bulk_build bypasses the frozen __init__; its records must be
+    indistinguishable from constructor-built ones (ADVICE r3)."""
+    rows = [(1, 2, -3, 4), (7, 9, 0, -12)]
+    built = OverlapRecord.bulk_build(*map(list, zip(*rows)))
+    want = [OverlapRecord(id_a=a, id_b=b, ahg=h, bhg=g) for a, b, h, g in rows]
+    assert built == want
+    assert all(r.adj == "N" and r.scr == 0 for r in built)
+    assert built[0].render() == want[0].render()

@@ -283,12 +283,30 @@ def test_candidate_pairs_count_values_match_oracle(crp_seqs, packed):
 
 
 def test_pallas_end_to_end_golden(crp_seqs):
-    """Fused Pallas engine (interpret mode on CPU) reproduces the golden
-    crp177.ovl byte-for-byte."""
-    ov = Overlapper(AlignSettings.amos_parity(), use_pallas=True)
+    """Fused engine reproduces the golden crp177.ovl byte-for-byte."""
+    ov = Overlapper(AlignSettings.amos_parity())
     recs = ov.run(crp_seqs)
     ours = "".join(r.render() + "\n" for r in recs)
     assert ours == open("/root/reference/amos/small/crp177.ovl").read()
+
+
+def test_single_align_packed_interpret_golden(crp_seqs):
+    """--single-align (batch_size=1) through the PACKED Pallas kernels
+    under the interpreter: pins the bs < pblk zero-grid bug (the engine
+    must clamp pblk to the lane-aligned batch, never launch grid=(0,))
+    and still reproduce the golden output byte-for-byte."""
+    from sequence_aligner_tpu.ops import align_fused
+
+    seqs = crp_seqs[:24]  # interpreter is slow: keep the pair count tiny
+    want = Overlapper(AlignSettings.amos_parity()).run(seqs)
+    assert want, "fixture subset produced no overlaps"
+    align_fused.FORCE_PACKED_INTERPRET = True
+    try:
+        ov = Overlapper(AlignSettings.amos_parity(), batch_size=1)
+        got = ov.run(seqs)
+    finally:
+        align_fused.FORCE_PACKED_INTERPRET = False
+    assert got == want
 
 
 def test_fused_dovetail_matches_oracle():
