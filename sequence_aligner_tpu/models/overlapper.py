@@ -226,10 +226,17 @@ class Overlapper:
         *,
         fast_dovetail: bool = True,
         batch_size: int = 1 << 20,
+        prescreen: bool | None = None,
     ):
         self.s = settings
         self.fast_dovetail = fast_dovetail
         self.batch_size = batch_size
+        # diagonal-coherence candidate prescreen (ops.pairgen): cuts the
+        # ~36 DP alignments per emitted record down by requiring clustered
+        # collision diagonals; empirically lossless, opt-in
+        if prescreen is None:
+            prescreen = bool(int(os.environ.get("SEQALIGN_PRESCREEN", "0")))
+        self.prescreen = prescreen
         # packed pairgen as split dispatches instead of the fused monolith
         # (env override for A/B timing; retries always use the split path)
         self.pairgen_split = bool(
@@ -289,9 +296,20 @@ class Overlapper:
         cap_tail = _cap_at_least(t_tot, 1 << 14)
         out_bound = (h_tot + t_tot) // max(s.min_collisions, 1)
         cap_out = _cap_at_least(min(out_bound, h_tot + t_tot), 1 << 14)
-        packed = getattr(self, "_max_read_id", 1 << 15) < (1 << 15)
+        # packed single-key aggregation covers the full 16-bit id space
+        # (sign-flipped keys sort in unsigned order); note the padded read
+        # tier, not the input count, decides — 32000 reads pad to 32768
+        # ids and once silently fell off a 2^15 version of this check onto
+        # the 2x-slower general radix path
+        packed = getattr(self, "_max_read_id", 1 << 16) < (1 << 16)
         # uniform-read-length fast path: 3 gathers/slot instead of 6
         pack_den = getattr(self, "_uniform_den", 0)
+        prescreen_w = None
+        if self.prescreen and packed and pack_den:
+            # window = the band width the DP itself will use: two real
+            # collisions of one alignment can differ by at most the band's
+            # reachable diagonal spread
+            prescreen_w = int(s.band_width(pack_den + s.kmer_size))
         attempt = 0
         while True:
             out = candidate_pairs_stream(
@@ -305,6 +323,7 @@ class Overlapper:
                 # monolith bakes cap_out in — recompiling it is the shape
                 # that once SIGKILLed the remote compile helper)
                 packed_split=self.pairgen_split or attempt > 0,
+                prescreen_w=prescreen_w,
             )
             if not bool(out["overflow"]):
                 break

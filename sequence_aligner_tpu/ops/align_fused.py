@@ -340,14 +340,36 @@ def _phase1_fused_scan(a_t, b_t, a_len, *, la_max, w, gO, gE, cm_tuple):
     return best, bi, bj, fst >> 16, fst & 0xFFFF
 
 
+def _p2_pack(la_max: int, w: int):
+    """Static bit layout for the MERGED phase-2 aux chain: when
+    (stop_u, stop_k, correct, error) all fit one non-negative int32
+    ((u << sh_u) | (k << sh_k) | (corr << bits_c) | err), the stop-coord
+    and count recurrences share ONE gated affine chain instead of two —
+    the chains are phase 2's largest op block.  Returns
+    (sh_u, sh_k, bits_c) or None (fall back to the dual-chain form for
+    long-read shapes whose fields exceed 31 bits)."""
+    bits_u = max(la_max.bit_length(), 1)
+    bits_k = (w + 1).bit_length()
+    bits_c = (la_max + w + 2).bit_length()
+    if bits_u + bits_k + 2 * bits_c <= 31:
+        return (bits_k + 2 * bits_c, 2 * bits_c, bits_c)
+    return None
+
+
 def _phase2_row(
     carry, u, a_code, nxt_row, *, dlen, blen, karr, la_max, w, zero_row,
-    gO, gE, cm_tuple,
+    gO, gE, cm_tuple, pack,
 ):
     """One DP row of the rotated-band phase 2 with in-fill stop +
-    match/error propagation (st packs u<<16|k, ct packs correct<<16|error).
+    match/error propagation.  ``pack`` selects the aux encoding:
+    None -> dual chains (st packs u<<16|k, ct packs correct<<16|error);
+    (sh_u, sh_k, bits_c) -> ONE merged chain carrying all four fields.
     The band window of B is carried and slid one row per step."""
-    mp, xp, yp, sp, cp, best, bu, bk, fst, fct, b_codes = carry
+    if pack is None:
+        mp, xp, yp, sp, cp, best, bu, bk, fst, fct, b_codes = carry
+    else:
+        sh_u, sh_k, bits_c = pack
+        mp, xp, yp, sp, best, bu, bk, fst, b_codes = carry
     pblk = a_code.shape[0]
     cols = w + 1
     sub = _sub_row(a_code, b_codes, cm_tuple, pblk)
@@ -376,28 +398,45 @@ def _phase2_row(
 
     # M branch: pred = (u-1, k); Y branch: pred = (u-1, k+1)
     sel_cont = jnp.where(is_m, cont_i, shift(cont_i)) == 1
-    um1 = (u - 1) << 16
-    sel_st = jnp.where(is_m, sp, shift(sp))
-    sel_cell = jnp.where(is_m, um1 | karr, um1 | (karr + 1))
-    sel_ct = jnp.where(is_m, cp, shift(cp))
-    dctr = jnp.where(is_m & eq, 1 << 16, 1)  # match or error, packed
-    s0 = jnp.where(sel_cont, sel_st, sel_cell)
-    c0 = jnp.where(sel_cont, sel_ct, 0) + dctr
-
-    # X branch: pred = (u, k-1) — the in-row recurrence for both the stop
-    # coords (gated constant maps) and the counts (gated affine maps),
-    # resolved by log-doubling instead of a width-step serialized chain
-    u16 = u << 16
     is_x = jnp.concatenate(
         [zrow1, (br[1:] == 1).astype(jnp.int32)], axis=0
     )
     lc = jnp.concatenate([zrow1, (mx[:-1] > 0).astype(jnp.int32)], axis=0)
     ax = is_x * lc
-    xbase = u16 | ((karr - 1) & 0xFFFF)
-    vs = jnp.where(is_x == 1, jnp.where(lc == 1, 0, xbase), s0)
-    vc = jnp.where(is_x == 1, 1, c0)  # X without left-cont: 0 + 1 step
-    s_new = _gated_chain(ax, vs)
-    c_new = _gated_chain_affine(ax, vc, ax)
+
+    if pack is None:
+        um1 = (u - 1) << 16
+        sel_st = jnp.where(is_m, sp, shift(sp))
+        sel_cell = jnp.where(is_m, um1 | karr, um1 | (karr + 1))
+        sel_ct = jnp.where(is_m, cp, shift(cp))
+        dctr = jnp.where(is_m & eq, 1 << 16, 1)  # match or error, packed
+        s0 = jnp.where(sel_cont, sel_st, sel_cell)
+        c0 = jnp.where(sel_cont, sel_ct, 0) + dctr
+
+        # X branch: pred = (u, k-1) — the in-row recurrence for the stop
+        # coords (gated constant maps) and the counts (gated affine maps),
+        # resolved by log-doubling instead of a width-step serialized chain
+        u16 = u << 16
+        xbase = u16 | ((karr - 1) & 0xFFFF)
+        vs = jnp.where(is_x == 1, jnp.where(lc == 1, 0, xbase), s0)
+        vc = jnp.where(is_x == 1, 1, c0)  # X without left-cont: 0 + 1 step
+        s_new = _gated_chain(ax, vs)
+        c_new = _gated_chain_affine(ax, vc, ax)
+    else:
+        # merged chain: one select tree + ONE gated affine chain carries
+        # coords and counts together; count increments live in the low
+        # fields and can never carry across (bounded by the path length)
+        um1 = (u - 1) << sh_u
+        sel_st = jnp.where(is_m, sp, shift(sp))
+        sel_cell = jnp.where(
+            is_m, um1 | (karr << sh_k), um1 | ((karr + 1) << sh_k)
+        )
+        dctr = jnp.where(is_m & eq, 1 << bits_c, 1)  # match or error
+        s0 = jnp.where(sel_cont, sel_st, sel_cell) + dctr
+        km = (1 << (sh_u - sh_k)) - 1
+        xbase = (u << sh_u) | (((karr - 1) & km) << sh_k)
+        vs = jnp.where(is_x == 1, jnp.where(lc == 1, 0, xbase) + 1, s0)
+        s_new = _gated_chain_affine(ax, vs, ax)
 
     rb = jnp.max(mx, axis=0)
     kb = jnp.min(jnp.where(mx == rb[None, :], karr, la_max + w + 2), axis=0)
@@ -407,17 +446,33 @@ def _phase2_row(
     bu = jnp.where(upd, u, bu)
     bk = jnp.where(upd, kb, bk)
     fst = jnp.where(upd, jnp.max(jnp.where(sel, s_new, 0), axis=0), fst)
-    fct = jnp.where(upd, jnp.max(jnp.where(sel, c_new, 0), axis=0), fct)
 
     # slide the band window down one row of b_pad
     b_next = jnp.concatenate([b_codes[1:], nxt_row[None, :]], axis=0)
-    return m_new, x_new, y_new, s_new, c_new, best, bu, bk, fst, fct, b_next
+    if pack is None:
+        fct = jnp.where(upd, jnp.max(jnp.where(sel, c_new, 0), axis=0), fct)
+        return m_new, x_new, y_new, s_new, c_new, best, bu, bk, fst, fct, b_next
+    return m_new, x_new, y_new, s_new, best, bu, bk, fst, b_next
 
 
-def _phase2_init(cols, pblk, b0):
+def _p2_decode(fst, fct, pack):
+    """(uf, kf, corr, err) from the captured aux state(s)."""
+    if pack is None:
+        return fst >> 16, fst & 0xFFFF, fct >> 16, fct & 0xFFFF
+    sh_u, sh_k, bits_c = pack
+    mc = (1 << bits_c) - 1
+    mk = (1 << (sh_u - sh_k)) - 1
+    return (
+        fst >> sh_u, (fst >> sh_k) & mk, (fst >> bits_c) & mc, fst & mc
+    )
+
+
+def _phase2_init(cols, pblk, b0, pack):
     zero = jnp.zeros((cols, pblk), jnp.int32)
     z = jnp.zeros((pblk,), jnp.int32)
-    return zero, zero, zero, zero, zero, z, z, z, z, z, b0
+    if pack is None:
+        return zero, zero, zero, zero, zero, z, z, z, z, z, b0
+    return zero, zero, zero, zero, z, z, z, z, b0
 
 
 def _phase2_packed_kernel(
@@ -436,6 +491,7 @@ def _phase2_packed_kernel(
     dlen = dlen_ref[0, :]
     blen = blen_ref[0, :]
     karr = jax.lax.broadcasted_iota(jnp.int32, (cols, pblk), 0)
+    pack = _p2_pack(la_max, w)
     sw_ref[:, :] = _shift_words(aw_ref[:, :], ds_ref[0, :], wpr)
 
     # band window for u = 1: window row r holds B code (r - zero_row)
@@ -459,19 +515,25 @@ def _phase2_packed_kernel(
         return _phase2_row(
             carry, u, a_code, nxt, dlen=dlen, blen=blen, karr=karr,
             la_max=la_max, w=w, zero_row=zero_row, gO=gO, gE=gE,
-            cm_tuple=cm_tuple,
+            cm_tuple=cm_tuple, pack=pack,
         )
 
-    *_, best, bu, bk, fst, fct, _b = jax.lax.fori_loop(
-        1, la_max + 1, body, _phase2_init(cols, pblk, b0)
+    out = jax.lax.fori_loop(
+        1, la_max + 1, body, _phase2_init(cols, pblk, b0, pack)
     )
+    if pack is None:
+        *_, best, bu, bk, fst, fct, _b = out
+    else:
+        *_, best, bu, bk, fst, _b = out
+        fct = None
+    uf, kf, corr, err = _p2_decode(fst, fct, pack)
     best_ref[0, :] = best
     bu_ref[0, :] = bu
     bk_ref[0, :] = bk
-    uf_ref[0, :] = fst >> 16
-    kf_ref[0, :] = fst & 0xFFFF
-    c_ref[0, :] = fct >> 16
-    e_ref[0, :] = fct & 0xFFFF
+    uf_ref[0, :] = uf
+    kf_ref[0, :] = kf
+    c_ref[0, :] = corr
+    e_ref[0, :] = err
 
 
 def _phase2_fused_scan(
@@ -480,6 +542,7 @@ def _phase2_fused_scan(
     p = a_shift.shape[1]
     cols = w + 1
     karr = jax.lax.broadcasted_iota(jnp.int32, (cols, p), 0)
+    pack = _p2_pack(la_max, w)
     npad = b_pad.shape[0]
     b0 = b_pad[1 : cols + 1, :]
     # next window rows for u = 1..la_max: b_pad[min(u + cols, npad - 1)]
@@ -493,15 +556,21 @@ def _phase2_fused_scan(
         return _phase2_row(
             carry, u, a_code, nxt, dlen=dove_len, blen=b_len, karr=karr,
             la_max=la_max, w=w, zero_row=zero_row, gO=gO, gE=gE,
-            cm_tuple=cm_tuple,
+            cm_tuple=cm_tuple, pack=pack,
         ), None
 
-    (*_, best, bu, bk, fst, fct, _b), _ = jax.lax.scan(
-        step, _phase2_init(cols, p, b0),
+    out, _ = jax.lax.scan(
+        step, _phase2_init(cols, p, b0, pack),
         (jnp.arange(1, la_max + 1, dtype=jnp.int32), a_shift[:la_max],
          nxt_rows),
     )
-    return best, bu, bk, fst >> 16, fst & 0xFFFF, fct >> 16, fct & 0xFFFF
+    if pack is None:
+        *_, best, bu, bk, fst, fct, _b = out
+    else:
+        *_, best, bu, bk, fst, _b = out
+        fct = None
+    uf, kf, corr, err = _p2_decode(fst, fct, pack)
+    return best, bu, bk, uf, kf, corr, err
 
 
 def _vec_spec(pblk):

@@ -17,10 +17,11 @@ static capacities and masking:
   4. pair ordering follows addKmerPair (src/KmerTable.scala:57-80): self
      pairs are dropped and the occurrence with strictly greater loc leads;
   5. ordered pairs are aggregated by ONE unstable single-operand sort of
-     packed (fst<<16)|snd keys when read ids fit 15 bits (the common case;
-     the reference itself packs pairs as (id<<16)^id,
-     src/KmerTable.scala:73), else by a two-pass stable 1-key radix sort;
-     run-length counting keeps runs inside [min_collisions, max_collisions].
+     packed (fst<<16)|snd keys (sign-flipped so int32 order == unsigned
+     order) when read ids fit 16 bits — the reference's own id ceiling
+     (it packs pairs as (id<<16)^id, src/KmerTable.scala:73) — else by a
+     two-pass stable 1-key radix sort; run-length counting keeps runs
+     inside [min_collisions, max_collisions].
 
 Performance design (measured on v5e through the axon tunnel,
 tools/compile_probe.py + tools/pairgen_timing.py):
@@ -47,6 +48,12 @@ import jax
 import jax.numpy as jnp
 
 _I32_MAX = jnp.int32(2**31 - 1)
+# sign flip: packed (fst << 16) | snd keys use the full 32 bits when ids
+# reach 16 bits; XOR with the sign bit makes int32 `<` match unsigned
+# order, so ONE unstable int32 sort still aggregates them.  The flipped
+# key can never equal the _I32_MAX invalid sentinel: that would need
+# fst == snd == 65535, and self-pairs are excluded.
+_SIGN = jnp.int32(-(2**31))
 
 
 def _ss(arr, q):
@@ -430,8 +437,13 @@ def _expand_prep_jit(
     return prep
 
 
-@partial(jax.jit, static_argnames=("chunk", "pack_den", "emit_key"))
-def _expand_chunk_jit(prep, t0, *, chunk: int, pack_den: int, emit_key: bool):
+@partial(
+    jax.jit, static_argnames=("chunk", "pack_den", "emit_key", "emit_diag")
+)
+def _expand_chunk_jit(
+    prep, t0, *, chunk: int, pack_den: int, emit_key: bool,
+    emit_diag: bool = False,
+):
     """Slots [t0, t0 + chunk) of one edge class's raw-pair stream.
 
     ONE compiled program serves every chunk of both classes (t0 is
@@ -501,7 +513,18 @@ def _expand_chunk_jit(prep, t0, *, chunk: int, pack_den: int, emit_key: bool):
     fst = jnp.where(a_first, a_id, b_id)
     snd = jnp.where(a_first, b_id, a_id)
     if emit_key:
-        return jnp.where(ok, (fst << 16) | snd, _I32_MAX)
+        # sign-flipped so int32 sort order == unsigned (fst, snd) order
+        # for ids up to 65535 (the reference's own id ceiling,
+        # src/KmerTable.scala:73)
+        key = jnp.where(ok, ((fst << 16) | snd) ^ _SIGN, _I32_MAX)
+        if emit_diag:
+            # collision diagonal pos_fst - pos_snd (packed fast path
+            # only): feeds the optional diagonal-coherence prescreen
+            pm = (1 << _POS_BITS) - 1
+            pa, pb = a_pk & pm, b_pk & pm
+            diag = jnp.where(a_first, pa - pb, pb - pa)
+            return key, jnp.where(ok, diag, 0)
+        return key
     # masked pair emission: invalid slots carry +inf in BOTH columns so
     # the radix sorts need no separate ok array
     return jnp.where(ok, fst, _I32_MAX), jnp.where(ok, snd, _I32_MAX)
@@ -525,32 +548,36 @@ def _chunk_sizes(cap: int, chunk: int | None = None) -> list[int]:
 
 
 def _expand_stream_chunked(
-    occ_s, edges, *, cap, pack_den, which, emit_key, chunk_size=None
+    occ_s, edges, *, cap, pack_den, which, emit_key, chunk_size=None,
+    emit_diag=False,
 ):
     """One edge class's full stream via the chunked programs.  Returns
-    (key [cap], total) when emit_key else (fst, snd, total) — validity is
-    encoded as _I32_MAX sentinels in BOTH pair columns (invalid slots sink
-    in the radix sorts without a separate ok array)."""
+    (key [cap], total) when emit_key ((key, diag, total) with emit_diag),
+    else (fst, snd, total) — validity is encoded as _I32_MAX sentinels in
+    BOTH pair columns (invalid slots sink in the radix sorts without a
+    separate ok array)."""
     prep = _expand_prep_jit(occ_s, **edges, pack_den=pack_den, which=which)
     pieces = []
     t0 = 0
     for c in _chunk_sizes(cap, chunk_size):
         pieces.append(_expand_chunk_jit(
             prep, jnp.int32(t0), chunk=c, pack_den=pack_den,
-            emit_key=emit_key,
+            emit_key=emit_key, emit_diag=emit_diag,
         ))
         t0 += c
+    cat = lambda ps: (
+        jnp.concatenate(ps) if len(ps) != 1 else ps[0]
+    ) if ps else jnp.zeros((0,), jnp.int32)
+    if emit_key and emit_diag:
+        return cat([p[0] for p in pieces]), cat([p[1] for p in pieces]), \
+            prep["total"]
     if emit_key:
-        key = (
-            jnp.concatenate(pieces) if len(pieces) != 1 else pieces[0]
-        ) if pieces else jnp.zeros((0,), jnp.int32)
-        return key, prep["total"]
+        return cat(pieces), prep["total"]
     if not pieces:
         z = jnp.zeros((0,), jnp.int32)
         return z, z, prep["total"]
-    fst = jnp.concatenate([p[0] for p in pieces])
-    snd = jnp.concatenate([p[1] for p in pieces])
-    return fst, snd, prep["total"]
+    return cat([p[0] for p in pieces]), cat([p[1] for p in pieces]), \
+        prep["total"]
 
 
 @jax.jit
@@ -560,6 +587,18 @@ def _sort_keys_jit(key_h, key_t):
     return jax.lax.sort(
         (jnp.concatenate([key_h, key_t]),), num_keys=1, is_stable=False
     )[0]
+
+
+@jax.jit
+def _sort_keys_diag_jit(key_h, key_t, diag_h, diag_t):
+    """(key, diag) 2-key unstable sort: runs stay grouped by pair key and
+    each run's collision diagonals come out ascending — the layout the
+    diagonal-coherence prescreen needs."""
+    return jax.lax.sort(
+        (jnp.concatenate([key_h, key_t]),
+         jnp.concatenate([diag_h, diag_t])),
+        num_keys=2, is_stable=False,
+    )
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
@@ -597,9 +636,9 @@ def _run_length_keep(fst2, snd2, okv, min_collisions, max_collisions):
     return cnt, keep
 
 
-@partial(jax.jit, static_argnames=("cap_out", "with_counts"))
-def _finish_packed_jit(
-    key_s, min_collisions, max_collisions, *, cap_out: int, with_counts: bool
+def _finish_core(
+    key_s, min_collisions, max_collisions, *, cap_out: int,
+    with_counts: bool, diag_s=None, screen_w=None,
 ):
     """Sorted packed keys -> run-length counts -> collision-band filter ->
     compacted (lead, trail, count, n_out).
@@ -609,12 +648,44 @@ def _finish_packed_jit(
     moves them to the front already in canonical key order, and the
     compacted table is a slice.  (The earlier cumsum + two-scatter
     compaction spent ~0.7 s per stream-sized scatter; the whole sort is
-    ~0.2 s at 84M.)"""
+    ~0.2 s at 84M.)
+
+    With ``diag_s`` (the run-ascending collision diagonals from the 2-key
+    sort) and ``screen_w``, the diagonal-coherence prescreen additionally
+    requires some ADJACENT pair of a run's collisions to lie within
+    ``screen_w`` diagonals of each other (runs of size 1 are exempt) —
+    see candidate_pairs_stream for the rationale and safety story."""
     okv = key_s != _I32_MAX
-    fst2 = jnp.where(okv, key_s >> 16, _I32_MAX)
-    snd2 = key_s & 0xFFFF
+    uk = key_s ^ _SIGN  # un-flip; low/high 16-bit fields are (fst, snd)
+    fst2 = jnp.where(okv, (uk >> 16) & 0xFFFF, _I32_MAX)
+    snd2 = uk & 0xFFFF
     cnt, keep = _run_length_keep(fst2, snd2, okv, min_collisions, max_collisions)
-    n_out = jnp.sum(keep.astype(jnp.int32))
+    if diag_s is not None:
+        n = key_s.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        same = jnp.concatenate(
+            [jnp.zeros((1,), jnp.bool_), key_s[1:] == key_s[:-1]]
+        ) & okv
+        near = jnp.concatenate(
+            [jnp.zeros((1,), jnp.bool_),
+             (diag_s[1:] - diag_s[:-1]) <= screen_w]
+        )
+        mark = (same & near).astype(jnp.int32)
+        cm = jnp.cumsum(mark)
+        first = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), key_s[1:] != key_s[:-1]]
+        )
+        seg_l = jax.lax.cummax(jnp.where(first, idx, 0))
+        nxt = jax.lax.cummin(jnp.where(first, idx, _I32_MAX), reverse=True)
+        nxt = jnp.minimum(
+            jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)]), n
+        )
+        # any near-diagonal adjacent pair inside the run [l, r)?
+        passes = (cm[nxt - 1] - cm[seg_l]) > 0
+        keep = keep & (passes | (cnt < 2))  # size-1 runs exempt
+        n_out = jnp.sum(keep.astype(jnp.int32))
+    else:
+        n_out = jnp.sum(keep.astype(jnp.int32))
     kmask = jnp.where(keep, key_s, _I32_MAX)
     key_c, cnt_c = jax.lax.sort(
         (kmask, jnp.where(keep, cnt, 0)), num_keys=1, is_stable=False
@@ -623,11 +694,34 @@ def _finish_packed_jit(
         pad = cap_out - key_c.shape[0]
         key_c = jnp.concatenate([key_c, jnp.full((pad,), _I32_MAX)])
         cnt_c = jnp.concatenate([cnt_c, jnp.zeros((pad,), jnp.int32)])
-    keyc = jnp.where(key_c[:cap_out] != _I32_MAX, key_c[:cap_out], 0)
-    lead = keyc >> 16
+    slot_ok = key_c[:cap_out] != _I32_MAX
+    keyc = jnp.where(slot_ok, key_c[:cap_out] ^ _SIGN, 0)
+    lead = jnp.where(slot_ok, (keyc >> 16) & 0xFFFF, 0)
     trail = keyc & 0xFFFF
     ocnt = cnt_c[:cap_out] if with_counts else None
     return dict(lead=lead, trail=trail, count=ocnt, n_out=n_out)
+
+
+@partial(jax.jit, static_argnames=("cap_out", "with_counts"))
+def _finish_packed_jit(
+    key_s, min_collisions, max_collisions, *, cap_out: int, with_counts: bool
+):
+    return _finish_core(
+        key_s, min_collisions, max_collisions,
+        cap_out=cap_out, with_counts=with_counts,
+    )
+
+
+@partial(jax.jit, static_argnames=("cap_out", "with_counts"))
+def _finish_screened_jit(
+    key_s, diag_s, min_collisions, max_collisions, screen_w, *,
+    cap_out: int, with_counts: bool,
+):
+    return _finish_core(
+        key_s, min_collisions, max_collisions,
+        cap_out=cap_out, with_counts=with_counts,
+        diag_s=diag_s, screen_w=screen_w,
+    )
 
 
 def _finish_cap(n: int, floor: int = 1 << 14) -> int:
@@ -660,13 +754,13 @@ def _finish_np_jit(fst2, snd2, cnt, keep, *, cap_out: int):
 @partial(
     jax.jit,
     static_argnames=("cap_head", "cap_tail", "cap_out", "pack_den",
-                     "with_counts", "chunk_size"),
+                     "with_counts", "chunk_size", "screen"),
 )
 def _pairgen_fused_jit(
     occ_s, head_edge, tail_edge, mid_lead, mid_tail,
-    min_collisions, max_collisions, *,
+    min_collisions, max_collisions, screen_w=None, *,
     cap_head: int, cap_tail: int, cap_out: int, pack_den: int,
-    with_counts: bool, chunk_size: int,
+    with_counts: bool, chunk_size: int, screen: bool = False,
 ):
     """Packed-id pair generation as ONE compiled program: both class
     expansions, the key sort, run-length counting and sort-compaction
@@ -678,6 +772,21 @@ def _pairgen_fused_jit(
         head_edge=head_edge, tail_edge=tail_edge,
         mid_lead=mid_lead, mid_tail=mid_tail,
     )
+    if screen:
+        key_h, diag_h, h_tot = _expand_stream_chunked(
+            occ_s, geom, cap=cap_head, pack_den=pack_den, which="head",
+            emit_key=True, chunk_size=chunk_size, emit_diag=True,
+        )
+        key_t, diag_t, t_tot = _expand_stream_chunked(
+            occ_s, geom, cap=cap_tail, pack_den=pack_den, which="tail",
+            emit_key=True, chunk_size=chunk_size, emit_diag=True,
+        )
+        key_s, diag_s = _sort_keys_diag_jit(key_h, key_t, diag_h, diag_t)
+        out = _finish_screened_jit(
+            key_s, diag_s, min_collisions, max_collisions, screen_w,
+            cap_out=cap_out, with_counts=with_counts,
+        )
+        return dict(out, h_tot=h_tot, t_tot=t_tot)
     key_h, h_tot = _expand_stream_chunked(
         occ_s, geom, cap=cap_head, pack_den=pack_den, which="head",
         emit_key=True, chunk_size=chunk_size,
@@ -711,6 +820,7 @@ def candidate_pairs_stream(
     pack_den: int = 0,
     with_counts: bool = True,
     packed_split: bool = False,
+    prescreen_w: int | None = None,
 ):
     """Global-stream candidate generation (the single-chip fast path).
 
@@ -734,35 +844,66 @@ def candidate_pairs_stream(
     tail-edge x middle pairs, loc-ordered (strictly greater loc leads,
     src/KmerTable.scala:65-71), self-pairs dropped, collision count kept
     within [min_collisions, max_collisions].
+
+    ``prescreen_w`` (packed fast path only) enables the diagonal-coherence
+    prescreen: a pair with >= 2 collisions must have some adjacent pair of
+    its diagonal-sorted collisions within ``prescreen_w`` of each other.
+    Rationale: any alignment passing the validity bar (identity >= 0.98
+    over >= 40 columns) contains an exact-match run of >= 22 bases — >= 11
+    shared k-mers on ONE diagonal — so genuine overlaps produce tightly
+    clustered collision diagonals, while repeat-driven junk scatters.
+    This is an EMPIRICALLY-lossless filter (verified byte-identical on the
+    c_ruddii and crp177 datasets plus randomized tests), not a theorem:
+    a pathological pair could validate through k-mers that the edge/middle
+    class geometry never counted.  It is off by default and opt-in via the
+    engine (Overlapper(prescreen=True) / --prescreen).
     """
     occ_s = occ if presorted else sort_occurrences_jit(occ)
     edges = dict(
         head_edge=head_edge, tail_edge=tail_edge,
         mid_lead=mid_lead, mid_tail=mid_tail,
     )
+    screen = bool(prescreen_w) and packed_ids and pack_den > 0
     if packed_ids and packed_split:
         # split pieces as SEPARATE dispatches: overflow retries touch only
         # the finish program, and each piece compiles independently
-        key_h, h_tot = _expand_stream_chunked(
-            occ_s, edges, cap=cap_head, pack_den=pack_den, which="head",
-            emit_key=True,
-        )
-        key_t, t_tot = _expand_stream_chunked(
-            occ_s, edges, cap=cap_tail, pack_den=pack_den, which="tail",
-            emit_key=True,
-        )
-        key_s = _sort_keys_jit(key_h, key_t)
-        out = _finish_packed_jit(
-            key_s, min_collisions, max_collisions,
-            cap_out=cap_out, with_counts=with_counts,
-        )
+        if screen:
+            key_h, diag_h, h_tot = _expand_stream_chunked(
+                occ_s, edges, cap=cap_head, pack_den=pack_den,
+                which="head", emit_key=True, emit_diag=True,
+            )
+            key_t, diag_t, t_tot = _expand_stream_chunked(
+                occ_s, edges, cap=cap_tail, pack_den=pack_den,
+                which="tail", emit_key=True, emit_diag=True,
+            )
+            key_s, diag_s = _sort_keys_diag_jit(key_h, key_t, diag_h, diag_t)
+            out = _finish_screened_jit(
+                key_s, diag_s, min_collisions, max_collisions,
+                jnp.int32(prescreen_w),
+                cap_out=cap_out, with_counts=with_counts,
+            )
+        else:
+            key_h, h_tot = _expand_stream_chunked(
+                occ_s, edges, cap=cap_head, pack_den=pack_den, which="head",
+                emit_key=True,
+            )
+            key_t, t_tot = _expand_stream_chunked(
+                occ_s, edges, cap=cap_tail, pack_den=pack_den, which="tail",
+                emit_key=True,
+            )
+            key_s = _sort_keys_jit(key_h, key_t)
+            out = _finish_packed_jit(
+                key_s, min_collisions, max_collisions,
+                cap_out=cap_out, with_counts=with_counts,
+            )
     elif packed_ids:
         fused = _pairgen_fused_jit(
             occ_s, **edges,
             min_collisions=min_collisions, max_collisions=max_collisions,
+            screen_w=jnp.int32(prescreen_w) if screen else None,
             cap_head=cap_head, cap_tail=cap_tail, cap_out=cap_out,
             pack_den=pack_den, with_counts=with_counts,
-            chunk_size=_EXPAND_CHUNK,
+            chunk_size=_EXPAND_CHUNK, screen=screen,
         )
         h_tot, t_tot = fused["h_tot"], fused["t_tot"]
         out = {k: fused[k] for k in ("lead", "trail", "count", "n_out")}

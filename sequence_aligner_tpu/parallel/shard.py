@@ -1,32 +1,44 @@
-"""Sharded multi-chip overlap step (shard_map + XLA collectives).
+"""Sharded multi-chip overlap engine (shard_map + XLA collectives).
 
 Distributed re-expression of the reference's single-JVM pipeline, per the
 BASELINE north star: reads stream data-parallel, the k-mer table is sharded
 by hash prefix via all-to-all over ICI/DCN, pair counts are reduced by
-pair-key all-to-all, and OVL records merge by gather.
+pair-key all-to-all, and OVL records merge by gather.  The hot loop this
+replaces is the reference's calcPairData/calcDispatchData
+(src/KmerTable.scala:85-187) plus its block alignment drivers.
 
-One step, per device, inside ``shard_map`` over a 1-D ``shard`` mesh axis:
+The engine is TWO separately-compiled programs (round-4 redesign —
+previously one fused step):
 
+``pairs step`` — per device inside ``shard_map`` over a 1-D mesh axis:
   1. local k-mer extraction on this device's read block (ops.kmer);
   2. occurrences routed to ``hash % n_dev`` via ``lax.all_to_all`` with
      per-destination capacity bins (overflow counted, never silent);
   3. complete per-hash occurrence groups -> raw ordered-pair expansion
      (ops.pairgen.expand_raw_pairs);
-  4. local pre-aggregation of pair counts, then a second all-to-all keyed
-     by pair hash so each pair's global count lands on one owner device —
-     this preserves the reference's *global* collision-band semantics
-     (src/KmerTable.scala:155-187) under sharding;
-  5. owner fetches ONLY the read rows its candidate pairs touch, via a
-     request/response all-to-all against the id-sharded read blocks —
-     per-device traffic is O(cap_out * L), independent of the total read
-     count (an all-gather of all reads would be O(N * L) per device and
-     fatal at the 1M/20M-read scale targets);
-  6. owner aligns its candidates with the fused dovetail kernels, one pass
-     per distinct band width (host-known, usually one), and emits masked
-     OVL fields; host concatenates, filters, sorts canonically.
+  4. LOCAL aggregation by ONE unstable sort — the packed sign-flipped
+     (fst<<16)|snd key when ids fit 16 bits, else a 2-key (fst, snd)
+     unstable sort — run-length counts, sort/scatter compaction (the
+     round-1 design's two stable 5-operand sorts are gone);
+  5. partial (pair, count) rows routed to ``hash(pair) % n_dev`` so each
+     pair's GLOBAL count lands on one owner — preserving the reference's
+     global collision-band semantics under sharding;
+  6. owner sums partials by the same sort+run-length machinery, applies
+     the [min, max] collision band, and emits a COMPACTED canonical
+     (lead, trail) table plus its exact count.
 
-All shapes static; every capacity has an explicit drop counter, and the
-driver retries doubling ONLY the capacities that overflowed.
+``align step`` — compiled at a batch capacity the driver picks FROM the
+fetched per-device pair counts (a pow2/8 tier), so the DP runs over
+~n_out pairs, not the generous cap_out padding:
+  7. owner fetches ONLY the read rows its candidate pairs touch, via a
+     request/response all-to-all against the id-sharded read blocks —
+     per-device traffic is O(cap_align * L), independent of total reads;
+  8. width-bucketed fused dovetail kernels (ops.align_fused) + masked
+     OVL field emission; host concatenates, filters, sorts canonically.
+
+Every capacity has an explicit drop counter; the driver retries with ONLY
+the overflowed capacities doubled, recompiling ONLY the affected program.
+All shapes static.
 """
 
 from __future__ import annotations
@@ -41,8 +53,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from sequence_aligner_tpu.core.settings import AlignSettings
 from sequence_aligner_tpu.ops.kmer import kmer_scan
 from sequence_aligner_tpu.ops.pairgen import (
-    _compact_indices, aggregate_pairs, compact_pairs, expand_raw_pairs,
-    sort_occurrences,
+    _I32_MAX, _SIGN, _compact_indices, expand_raw_pairs, sort_occurrences,
 )
 
 
@@ -85,6 +96,65 @@ def _exchange(bins: dict, axis: str):
             arr, axis, split_axis=0, concat_axis=0, tiled=True
         )
     return out
+
+
+def _run_sums(first, weight):
+    """Per-run weight totals of a run-partitioned sorted stream: value at
+    EVERY position of a run is that run's total (run-boundary fills, no
+    segment scatter).  ``first`` marks run starts."""
+    n = first.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seg_l = jax.lax.cummax(jnp.where(first, idx, 0))
+    nxt = jax.lax.cummin(jnp.where(first, idx, _I32_MAX), reverse=True)
+    nxt = jnp.minimum(
+        jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)]), n
+    )
+    cw = jnp.cumsum(weight)
+    ex = cw - weight  # exclusive prefix
+    return cw[nxt - 1] - ex[seg_l]
+
+
+def _agg_packed(key, weight, cap: int):
+    """(sign-flipped packed key, weight) -> per-distinct-key totals,
+    compacted to [cap] by ONE extra unstable sort.  Invalid rows carry
+    key == _I32_MAX.  Returns (key_c [cap], cnt_c [cap], n_runs)."""
+    key_s, w_s = jax.lax.sort((key, weight), num_keys=1, is_stable=False)
+    okv = key_s != _I32_MAX
+    first = okv & jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), key_s[1:] != key_s[:-1]]
+    )
+    tot = _run_sums(first, jnp.where(okv, w_s, 0))
+    n_runs = jnp.sum(first.astype(jnp.int32))
+    kmask = jnp.where(first, key_s, _I32_MAX)
+    key_c, cnt_c = jax.lax.sort(
+        (kmask, jnp.where(first, tot, 0)), num_keys=1, is_stable=False
+    )
+    return key_c[:cap], cnt_c[:cap], n_runs
+
+
+def _agg_general(fst, snd, weight, cap: int):
+    """General-id aggregation: 2-key unstable sort + run sums + scatter
+    compaction.  Invalid rows carry _I32_MAX in both columns.  Returns
+    (fst_c [cap], snd_c [cap], cnt_c [cap], n_runs)."""
+    f_s, s_s, w_s = jax.lax.sort(
+        (fst, snd, weight), num_keys=2, is_stable=False
+    )
+    okv = f_s != _I32_MAX
+    first = okv & jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (f_s[1:] != f_s[:-1]) | (s_s[1:] != s_s[:-1]),
+        ]
+    )
+    tot = _run_sums(first, jnp.where(okv, w_s, 0))
+    n_runs = jnp.sum(first.astype(jnp.int32))
+    pos = jnp.cumsum(first.astype(jnp.int32)) - 1
+    slot = jnp.where(first, jnp.minimum(pos, cap), cap)
+    z = jnp.zeros((cap + 1,), jnp.int32)
+    fst_c = z.at[slot].set(jnp.where(first, f_s, 0))[:cap]
+    snd_c = z.at[slot].set(jnp.where(first, s_s, 0))[:cap]
+    cnt_c = z.at[slot].set(jnp.where(first, tot, 0))[:cap]
+    return fst_c, snd_c, cnt_c, n_runs
 
 
 def _fetch_read_rows(
@@ -133,43 +203,33 @@ def _fetch_read_rows(
     return out_rows, out_lens, dropped
 
 
-def make_sharded_overlap_step(
+def make_sharded_pairs_step(
     mesh: Mesh,
     s: AlignSettings,
     *,
-    la_max: int,
-    widths: tuple[int, ...],
     cap_route: int,
     cap_head: int,
     cap_tail: int,
     cap_agg: int,
     cap_pair_route: int,
     cap_out: int,
-    cap_width: tuple[int, ...] | None = None,
+    packed: bool,
     axis: str = "shard",
     stop_after: str | None = None,
 ):
-    """Build the jitted sharded step.
+    """Build the jitted candidate-generation program.
 
-    widths: the host-known set of band widths present in the input.  With
-    one width the align pass runs directly over the [cap_out] pair table;
-    with several, pairs are COMPACTED per width into [cap_width[i]]
-    buckets first, so total DP work is O(pairs), not O(widths x cap_out)
-    (bucket overflows are counted and drive the driver's retry).
+    Returns fn(bases [N, L] int8, lengths [N] int32, ids [N] int32) ->
+    (lead [n_dev * cap_out], trail, n_out [n_dev], drops [n_dev, 4])
+    where lead/trail are canonically sorted and compacted per device and
+    N must be divisible by the mesh size.  ``packed`` selects the
+    sign-flipped 32-bit pair-key formulation (requires ids <= 65535).
 
-    stop_after ∈ {"kmer", "pairs", "agg", None}: truncate the step after
-    that stage and return a tiny per-device sink array instead — the
-    sharded bench harness times these truncated programs to attribute
-    wall-clock to stages (a single fused program can't be timed from the
-    host mid-flight).
-
-    Returns fn(bases [N, la_max] int8, lengths [N] int32, ids [N] int32)
-    -> tuple of [n_dev * cap_out] OVL fields + drop counters, where N must
-    be divisible by the mesh size.
+    stop_after ∈ {"kmer", "route", None} truncates the program for the
+    stage-attribution bench (a fused program cannot be host-timed
+    mid-flight).
     """
     n_dev = mesh.shape[axis]
-    if cap_width is None:
-        cap_width = tuple(cap_out for _ in widths)
     geom = dict(
         head_edge=jnp.float32(s.kmer_head_edge),
         tail_edge=jnp.float32(s.kmer_tail_edge),
@@ -178,74 +238,14 @@ def make_sharded_overlap_step(
     )
     min_c = jnp.int32(s.min_collisions)
     max_c = jnp.int32(s.max_collisions)
-    # exact band-width lookup by lead length (float32 parity)
-    wtab = jnp.asarray(
-        [s.band_width(l) for l in range(la_max + 1)], np.int32
-    )
-
-    _align_kw = dict(
-        cm_tuple=tuple(int(x) for x in s.cost_matrix.reshape(-1)),
-        gO=s.gap_open, gE=s.gap_extend,
-        min_identity=jnp.float32(s.min_identity),
-        min_overlap=jnp.int32(s.min_overlap),
-        max_ignore=jnp.int32(s.max_ignore),
-        la_max=la_max, lb_max=la_max,
-    )
-
-    def _align_bucketed(out_valid, a_rows, a_lens, b_rows, b_lens):
-        """Width-bucketed alignment: pairs are compacted per band width
-        and each width's fused pass runs over ONLY its own bucket
-        ([cap_width[i]]), results scattered back to the [cap_out] table.
-        Returns (res fields dict, bucket-overflow drop count).  A single
-        width skips the bucketing entirely."""
-        from sequence_aligner_tpu.ops.align_fused import (
-            fast_dovetail_batch_fused,
-        )
-
-        if len(widths) == 1:
-            res = fast_dovetail_batch_fused(
-                a_rows, a_lens, b_rows, b_lens,
-                width=int(widths[0]), **_align_kw,
-            )
-            return res, jnp.int32(0)
-
-        pw = wtab[jnp.clip(a_lens, 0, la_max)]
-        res = None
-        drop_w = jnp.int32(0)
-        for w, cw in zip(widths, cap_width):
-            mask = out_valid & (pw == w)
-            rows_idx, _, total = _compact_indices(mask, cap=cw)
-            r = fast_dovetail_batch_fused(
-                a_rows[rows_idx], a_lens[rows_idx],
-                b_rows[rows_idx], b_lens[rows_idx],
-                width=int(w), **_align_kw,
-            )
-            # scatter this bucket's results back; slots past the bucket's
-            # fill go to the waste row so they can't clobber pair 0
-            ok_slots = jnp.arange(cw, dtype=jnp.int32) < total
-            tgt = jnp.where(ok_slots, rows_idx, cap_out)
-            if res is None:
-                res = {
-                    k: jnp.zeros((cap_out + 1,), v.dtype) for k, v in r.items()
-                }
-            for k, v in r.items():
-                res[k] = res[k].at[tgt].set(
-                    jnp.where(ok_slots, v, jnp.zeros((), v.dtype))
-                )
-            drop_w += jnp.maximum(total - cw, 0)
-        return {k: v[:cap_out] for k, v in res.items()}, drop_w
 
     def _sink(*arrs):
-        """[1] int32 per device depending on every input (keeps truncated
-        stage programs from dead-code-eliminating the work being timed)."""
         acc = jnp.int32(0)
         for a in arrs:
             acc += jnp.sum(a.astype(jnp.int32))
         return acc[None]
 
     def step(bases, lengths, ids):
-        n_local = bases.shape[0]
-
         # ---- 1. local k-mers ----
         occ = kmer_scan(bases, lengths, ids, s.kmer_size)
         if stop_after == "kmer":
@@ -273,83 +273,242 @@ def make_sharded_overlap_step(
         )
         pair_overflow = ((h_tot > cap_head) | (t_tot > cap_tail)).astype(jnp.int32)
 
-        # ---- 4. local pre-aggregation + pair-key all-to-all ----
-        afst, asnd, acnt, afirst = aggregate_pairs(
-            fst, snd, jnp.ones_like(fst), ok
-        )
-        # keep only run representatives, re-compact to cap_agg
-        lfst, lsnd, lcnt, n_agg = compact_pairs(afst, asnd, acnt, afirst, cap_agg)
-        agg_valid = jnp.arange(cap_agg, dtype=jnp.int32) < n_agg
-        agg_overflow = (n_agg > cap_agg).astype(jnp.int32)
+        # ---- 4. local aggregation + pair-key all-to-all ----
+        ones = jnp.ones_like(fst)
+        if packed:
+            key = jnp.where(ok, ((fst << 16) | snd) ^ _SIGN, _I32_MAX)
+            lkey, lcnt, n_agg = _agg_packed(key, ones, cap_agg)
+            l_ok = lkey != _I32_MAX
+            uk = jnp.where(l_ok, lkey ^ _SIGN, 0)
+            lfst = (uk >> 16) & 0xFFFF
+            lsnd = uk & 0xFFFF
+        else:
+            fstm = jnp.where(ok, fst, _I32_MAX)
+            sndm = jnp.where(ok, snd, _I32_MAX)
+            lfst, lsnd, lcnt, n_agg = _agg_general(fstm, sndm, ones, cap_agg)
+            l_ok = lfst > 0
+        agg_overflow = jnp.maximum(n_agg - cap_agg, 0)
         ptgt = (
             (lfst.astype(jnp.uint32) * jnp.uint32(2654435761)
              ^ lsnd.astype(jnp.uint32)) % jnp.uint32(n_dev)
         ).astype(jnp.int32)
         pbins, drop_pairs = _route(
             dict(fst=lfst, snd=lsnd, cnt=lcnt),
-            ptgt, agg_valid, n_dev, cap_pair_route,
+            ptgt, l_ok, n_dev, cap_pair_route,
         )
         precv = _exchange(pbins, axis)
 
-        # ---- 5. owner-side global count + band filter ----
-        gfst, gsnd, gcnt, gfirst = aggregate_pairs(
-            precv["fst"].reshape(-1),
-            precv["snd"].reshape(-1),
-            precv["cnt"].reshape(-1),
-            precv["_sent"].reshape(-1),
+        # ---- 5. owner-side global count + band filter + compaction ----
+        gfst = precv["fst"].reshape(-1)
+        gsnd = precv["snd"].reshape(-1)
+        gcntw = precv["cnt"].reshape(-1)
+        gok = precv["_sent"].reshape(-1)
+        if packed:
+            gkey = jnp.where(gok, ((gfst << 16) | gsnd) ^ _SIGN, _I32_MAX)
+            key_s, w_s = jax.lax.sort((gkey, gcntw), num_keys=1, is_stable=False)
+            okv = key_s != _I32_MAX
+            first = okv & jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), key_s[1:] != key_s[:-1]]
+            )
+            tot = _run_sums(first, jnp.where(okv, w_s, 0))
+            keep = first & (min_c <= tot) & (tot <= max_c)
+            n_out = jnp.sum(keep.astype(jnp.int32))
+            kmask = jnp.where(keep, key_s, _I32_MAX)
+            key_c = jax.lax.sort((kmask,), num_keys=1, is_stable=False)[0]
+            slot_ok = key_c[:cap_out] != _I32_MAX
+            ukc = jnp.where(slot_ok, key_c[:cap_out] ^ _SIGN, 0)
+            lead = (ukc >> 16) & 0xFFFF
+            trail = ukc & 0xFFFF
+        else:
+            fm = jnp.where(gok, gfst, _I32_MAX)
+            sm = jnp.where(gok, gsnd, _I32_MAX)
+            f_s, s_s, w_s = jax.lax.sort(
+                (fm, sm, gcntw), num_keys=2, is_stable=False
+            )
+            okv = f_s != _I32_MAX
+            first = okv & jnp.concatenate(
+                [
+                    jnp.ones((1,), jnp.bool_),
+                    (f_s[1:] != f_s[:-1]) | (s_s[1:] != s_s[:-1]),
+                ]
+            )
+            tot = _run_sums(first, jnp.where(okv, w_s, 0))
+            keep = first & (min_c <= tot) & (tot <= max_c)
+            n_out = jnp.sum(keep.astype(jnp.int32))
+            pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+            slot = jnp.where(keep, jnp.minimum(pos, cap_out), cap_out)
+            z = jnp.zeros((cap_out + 1,), jnp.int32)
+            lead = z.at[slot].set(jnp.where(keep, f_s, 0))[:cap_out]
+            trail = z.at[slot].set(jnp.where(keep, s_s, 0))[:cap_out]
+        out_overflow = jnp.maximum(n_out - cap_out, 0)
+        drops = jnp.stack(
+            [drop_kmer, pair_overflow + drop_pairs, agg_overflow, out_overflow]
         )
-        keep = gfirst & (min_c <= gcnt) & (gcnt <= max_c)
-        lead, trail, _, n_out = compact_pairs(gfst, gsnd, gcnt, keep, cap_out)
-        out_valid = jnp.arange(cap_out, dtype=jnp.int32) < n_out
-        out_overflow = (n_out > cap_out).astype(jnp.int32)
-        if stop_after == "pairs":
-            return _sink(lead, trail, n_out)
+        return lead, trail, n_out[None], drops[None, :]
 
-        # ---- 6. fetch ONLY the needed read rows, then align ----
-        need = jnp.concatenate([
-            jnp.where(out_valid, lead, 0), jnp.where(out_valid, trail, 0),
-        ])
-        rows, lens, drop_req = _fetch_read_rows(
-            need, bases, lengths, n_local, n_dev, axis, cap_req=cap_out,
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(axis) if stop_after else (P(axis),) * 4,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_align_step(
+    mesh: Mesh,
+    s: AlignSettings,
+    *,
+    la_max: int,
+    widths: tuple[int, ...],
+    cap_align: int,
+    cap_width: tuple[int, ...] | None = None,
+    axis: str = "shard",
+    stop_after: str | None = None,
+):
+    """Build the jitted read-fetch + alignment program.
+
+    Takes the pairs step's per-device compacted (lead, trail) tables and
+    aligns their first ``cap_align`` rows — the driver picks cap_align as
+    a pow2/8 tier over the FETCHED pair counts, so DP work tracks the
+    real candidate volume instead of the pairs table's capacity padding.
+
+    Returns fn(bases, lengths, lead [n_dev * cap_pairs], trail) ->
+    (valid, lead, trail, ahg, bhg, drops [n_dev, 3]) with [n_dev *
+    cap_align] OVL fields.  stop_after ∈ {"fetch", None}.
+    """
+    n_dev = mesh.shape[axis]
+    if cap_width is None:
+        cap_width = tuple(cap_align for _ in widths)
+    wtab = jnp.asarray(
+        [s.band_width(l) for l in range(la_max + 1)], np.int32
+    )
+    _align_kw = dict(
+        cm_tuple=tuple(int(x) for x in s.cost_matrix.reshape(-1)),
+        gO=s.gap_open, gE=s.gap_extend,
+        min_identity=jnp.float32(s.min_identity),
+        min_overlap=jnp.int32(s.min_overlap),
+        max_ignore=jnp.int32(s.max_ignore),
+        la_max=la_max, lb_max=la_max,
+    )
+
+    def _align_bucketed(out_valid, a_rows, a_lens, b_rows, b_lens):
+        """Width-bucketed alignment: pairs are compacted per band width
+        and each width's fused pass runs over ONLY its own bucket
+        ([cap_width[i]]), results scattered back to the [cap_align] table.
+        Returns (res fields dict, bucket-overflow drop count).  A single
+        width skips the bucketing entirely."""
+        from sequence_aligner_tpu.ops.align_fused import (
+            fast_dovetail_batch_fused,
         )
-        a_rows, b_rows = rows[:cap_out], rows[cap_out:]
-        a_lens, b_lens = lens[:cap_out], lens[cap_out:]
+
+        if len(widths) == 1:
+            res = fast_dovetail_batch_fused(
+                a_rows, a_lens, b_rows, b_lens,
+                width=int(widths[0]), **_align_kw,
+            )
+            return res, jnp.int32(0)
+
+        pw = wtab[jnp.clip(a_lens, 0, la_max)]
+        res = None
+        drop_w = jnp.int32(0)
+        for w, cw in zip(widths, cap_width):
+            mask = out_valid & (pw == w)
+            rows_idx, _, total = _compact_indices(mask, cap=cw)
+            r = fast_dovetail_batch_fused(
+                a_rows[rows_idx], a_lens[rows_idx],
+                b_rows[rows_idx], b_lens[rows_idx],
+                width=int(w), **_align_kw,
+            )
+            # scatter this bucket's results back; slots past the bucket's
+            # fill go to the waste row so they can't clobber pair 0
+            ok_slots = jnp.arange(cw, dtype=jnp.int32) < total
+            tgt = jnp.where(ok_slots, rows_idx, cap_align)
+            if res is None:
+                res = {
+                    k: jnp.zeros((cap_align + 1,), v.dtype)
+                    for k, v in r.items()
+                }
+            for k, v in r.items():
+                res[k] = res[k].at[tgt].set(
+                    jnp.where(ok_slots, v, jnp.zeros((), v.dtype))
+                )
+            drop_w += jnp.maximum(total - cw, 0)
+        return {k: v[: cap_align] for k, v in res.items()}, drop_w
+
+    def _sink(*arrs):
+        acc = jnp.int32(0)
+        for a in arrs:
+            acc += jnp.sum(a.astype(jnp.int32))
+        return acc[None]
+
+    def step(bases, lengths, lead_full, trail_full):
+        n_local = bases.shape[0]
+        cap_pairs = lead_full.shape[0]
+        if cap_pairs >= cap_align:
+            lead = jax.lax.slice_in_dim(lead_full, 0, cap_align)
+            trail = jax.lax.slice_in_dim(trail_full, 0, cap_align)
+            # pairs beyond the align tier (hole slots are 0) are counted,
+            # never silently skipped
+            tail = jax.lax.slice_in_dim(lead_full, cap_align, cap_pairs)
+            trunc = jnp.sum((tail > 0).astype(jnp.int32))
+        else:  # degenerate: align tier above the pairs capacity
+            pad = cap_align - cap_pairs
+            lead = jnp.concatenate([lead_full, jnp.zeros((pad,), jnp.int32)])
+            trail = jnp.concatenate([trail_full, jnp.zeros((pad,), jnp.int32)])
+            trunc = jnp.int32(0)
+        out_valid = lead > 0
+
+        # ---- fetch ONLY the needed read rows ----
+        need = jnp.concatenate([lead, trail])
+        rows, lens, drop_req = _fetch_read_rows(
+            need, bases, lengths, n_local, n_dev, axis, cap_req=cap_align,
+        )
+        a_rows, b_rows = rows[:cap_align], rows[cap_align:]
+        a_lens, b_lens = lens[:cap_align], lens[cap_align:]
         if stop_after == "fetch":
             return _sink(a_rows, b_rows, a_lens, b_lens)
         res, drop_width = _align_bucketed(
             out_valid, a_rows, a_lens, b_rows, b_lens
         )
         valid = res["valid"] & out_valid
-        drops = jnp.stack(
-            [
-                drop_kmer, drop_pairs, pair_overflow, agg_overflow,
-                out_overflow, drop_req, drop_width,
-            ]
-        )
+        drops = jnp.stack([trunc, drop_req, drop_width])
         return (
             valid,
             jnp.where(out_valid, lead, 0),
             jnp.where(out_valid, trail, 0),
             res["ahg"],
             res["bhg"],
-            drops[None, :],  # [1, 7] per device -> [n_dev, 7] global
+            drops[None, :],
         )
 
     sharded = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis)),
+        in_specs=(P(axis),) * 4,
         out_specs=P(axis) if stop_after else (P(axis),) * 6,
         check_vma=False,
     )
     return jax.jit(sharded)
 
 
-# drop-counter index -> capacities to double on retry
-_DROP_CAPS = (
-    ("cap_route",), ("cap_pair_route",), ("cap_head", "cap_tail"),
-    ("cap_agg",), ("cap_out",), ("cap_out",), ("cap_width",),
+def _tier(n: int, floor: int = 1024) -> int:
+    """pow2/8 capacity tier >= n (<= 12.5% padding)."""
+    p = floor
+    while p < n:
+        p *= 2
+    step = p // 8
+    return max(((n + step - 1) // step) * step, floor)
+
+
+# pairs-step drop-counter index -> capacities to double on retry
+_PAIR_DROP_CAPS = (
+    ("cap_route",), ("cap_head", "cap_tail", "cap_pair_route"),
+    ("cap_agg",), ("cap_out",),
 )
+# align-step drop-counter index -> capacities to double on retry
+_ALIGN_DROP_CAPS = (("cap_align",), ("cap_align",), ("cap_width",))
 
 
 def sharded_overlap(
@@ -359,11 +518,13 @@ def sharded_overlap(
     *,
     caps: dict | None = None,
 ):
-    """Host driver: run the sharded step and return canonical OVL records.
+    """Host driver: run the two sharded programs and return canonical OVL
+    records.
 
-    Capacities default to generous bounds derived from the input size; the
-    step reports drops/overflows per capacity and the driver retries with
-    ONLY the overflowed capacities doubled.
+    Capacities default to generous bounds derived from the input size; each
+    program reports drops/overflows per capacity and the driver retries
+    with ONLY the overflowed capacities doubled — recompiling only the
+    program they belong to.
     """
     from sequence_aligner_tpu.core.records import OverlapRecord
     from sequence_aligner_tpu.ops.encode import encode_reads
@@ -382,6 +543,7 @@ def sharded_overlap(
     )
     n_kmers = int(np.sum(np.maximum(lengths - s.kmer_size + 1, 0)))
     widths = tuple(sorted({s.band_width(int(x)) for x in lengths[:n]}))
+    packed = (n + pad) < (1 << 16)  # ids fit 16 bits -> packed pair keys
 
     caps = dict(caps or {})
     caps.setdefault("cap_route", max(1024, 2 * n_kmers // max(n_dev, 1)))
@@ -390,17 +552,6 @@ def sharded_overlap(
     caps.setdefault("cap_agg", 1 << 18)
     caps.setdefault("cap_pair_route", max(4096, caps["cap_agg"] // max(n_dev // 2, 1)))
     caps.setdefault("cap_out", 1 << 16)
-    if len(widths) > 1 and "cap_width" not in caps:
-        # initial per-width bucket capacity ~ the width class's share of
-        # reads (x2 slack), rounded to the Pallas lane-block multiple
-        wcounts = {w: 0 for w in widths}
-        for x in lengths[:n]:
-            wcounts[s.band_width(int(x))] += 1
-        caps["cap_width"] = tuple(
-            max(1024, -(-2 * caps["cap_out"] * wcounts[w] // max(n, 1) // 256)
-                * 256)
-            for w in widths
-        )
 
     multiproc = jax.process_count() > 1
     if multiproc:
@@ -423,23 +574,62 @@ def sharded_overlap(
         to_dev = jnp.asarray
         to_host = np.asarray
 
+    bases_d, lengths_d = to_dev(bases), to_dev(lengths)
+
+    # ---- pairs program (+ its capacity retries) ----
     while True:
-        step = make_sharded_overlap_step(
-            mesh, s, la_max=l, widths=widths, **caps
+        pairs_step = make_sharded_pairs_step(
+            mesh, s, packed=packed,
+            **{k: caps[k] for k in (
+                "cap_route", "cap_head", "cap_tail", "cap_agg",
+                "cap_pair_route", "cap_out",
+            )},
         )
-        valid, lead, trail, ahg, bhg, drops = step(
-            to_dev(bases), to_dev(lengths), to_dev(ids)
+        lead_d, trail_d, n_out_d, drops = pairs_step(
+            bases_d, lengths_d, to_dev(ids)
         )
-        drops = to_host(drops).sum(axis=0)  # [7] summed over devices
+        drops = to_host(drops).sum(axis=0)
         if drops.sum() == 0:
             break
-        for i, capnames in enumerate(_DROP_CAPS):
+        for i, capnames in enumerate(_PAIR_DROP_CAPS):
             if drops[i] > 0:
+                for name in capnames:
+                    caps[name] *= 2
+
+    n_out = to_host(n_out_d)
+    # ---- align program at a tier sized from the REAL pair counts ----
+    caps.setdefault("cap_align", _tier(int(n_out.max()) if n_out.size else 0))
+    if len(widths) > 1 and "cap_width" not in caps:
+        # initial per-width bucket capacity ~ the width class's share of
+        # reads (x2 slack), rounded to the Pallas lane-block multiple
+        wcounts = {w: 0 for w in widths}
+        for x in lengths[:n]:
+            wcounts[s.band_width(int(x))] += 1
+        caps["cap_width"] = tuple(
+            max(1024,
+                -(-2 * caps["cap_align"] * wcounts[w] // max(n, 1) // 256)
+                * 256)
+            for w in widths
+        )
+    while True:
+        align_step = make_sharded_align_step(
+            mesh, s, la_max=l, widths=widths,
+            cap_align=caps["cap_align"], cap_width=caps.get("cap_width"),
+        )
+        valid, lead, trail, ahg, bhg, adrops = align_step(
+            bases_d, lengths_d, lead_d, trail_d
+        )
+        adrops = to_host(adrops).sum(axis=0)
+        if adrops.sum() == 0:
+            break
+        for i, capnames in enumerate(_ALIGN_DROP_CAPS):
+            if adrops[i] > 0:
                 for name in capnames:
                     if isinstance(caps.get(name), tuple):
                         caps[name] = tuple(2 * c for c in caps[name])
                     else:
                         caps[name] *= 2
+
     valid = to_host(valid)
     lead, trail = to_host(lead), to_host(trail)
     ahg, bhg = to_host(ahg), to_host(bhg)

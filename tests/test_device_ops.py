@@ -543,3 +543,71 @@ def test_candidate_pairs_chunked_expansion_parity(crp_seqs, packed, monkeypatch)
     ]
     assert not bool(got_out["overflow"])
     assert got == want and n_got == n_ref and n_ref > 0
+
+
+def test_packed_pairgen_high_ids_matches_general():
+    """Packed single-key aggregation with read ids in the UPPER half of
+    the 16-bit space (sign-flipped keys) matches the general radix path
+    slot for slot — pins the 32768..65535-id range that once silently
+    fell back to the slow path (and would break if the flip were wrong)."""
+    import jax.numpy as jnp
+
+    from sequence_aligner_tpu.ops import pairgen as pg
+
+    rng = np.random.RandomState(3)
+    n = 4096
+    ids = rng.randint(30000, 65536, n).astype(np.int32)
+    occ = dict(
+        hash=jnp.asarray(rng.randint(0, 37, n).astype(np.int32)),
+        read_id=jnp.asarray(ids),
+        loc=jnp.asarray(rng.rand(n).astype(np.float32)),
+        valid=jnp.asarray(rng.rand(n) < 0.95),
+    )
+    s = AlignSettings.amos_parity()
+    kw = dict(
+        head_edge=jnp.float32(s.kmer_head_edge),
+        tail_edge=jnp.float32(s.kmer_tail_edge),
+        mid_lead=jnp.float32(s.kmer_mid_lead_edge),
+        mid_tail=jnp.float32(s.kmer_mid_tail_edge),
+        min_collisions=jnp.int32(s.min_collisions),
+        max_collisions=jnp.int32(s.max_collisions),
+        cap_head=1 << 18, cap_tail=1 << 18, cap_out=1 << 16,
+    )
+    a = pg.candidate_pairs_stream(occ, packed_ids=True, **kw)
+    b = pg.candidate_pairs_stream(occ, packed_ids=False, **kw)
+    ka, kb = int(a["n_out"]), int(b["n_out"])
+    assert ka == kb and ka > 0
+    for f in ("lead", "trail", "count"):
+        np.testing.assert_array_equal(
+            np.asarray(a[f][:ka]), np.asarray(b[f][:ka]), err_msg=f
+        )
+    assert int(np.asarray(a["lead"][:ka]).max()) >= (1 << 15)
+    # split dispatch path produces the identical table
+    c = pg.candidate_pairs_stream(
+        occ, packed_ids=True, packed_split=True, **kw
+    )
+    for f in ("lead", "trail", "count"):
+        np.testing.assert_array_equal(
+            np.asarray(a[f][:ka]), np.asarray(c[f][:ka]), err_msg=f
+        )
+
+
+def test_prescreen_golden_and_random(crp_seqs):
+    """Diagonal-coherence prescreen must be output-invariant: byte-equal
+    golden on crp177 and identical records on a randomized simulated
+    dataset (it may only drop pairs whose alignment was invalid anyway)."""
+    s = AlignSettings.amos_parity()
+    ov = Overlapper(s, prescreen=True)
+    recs = ov.run(crp_seqs)
+    ours = "".join(r.render() + "\n" for r in recs)
+    assert ours == open("/root/reference/amos/small/crp177.ovl").read()
+    base = Overlapper(s, prescreen=False)
+    base_recs = base.run(crp_seqs)
+    assert recs == base_recs
+    assert ov.stats.n_candidate_pairs <= base.stats.n_candidate_pairs
+
+    rng = np.random.RandomState(11)
+    seqs = _random_reads(rng, 300, 100, genome_len=3000)
+    a = Overlapper(s, prescreen=True).run(seqs)
+    b = Overlapper(s, prescreen=False).run(seqs)
+    assert a == b and a

@@ -77,3 +77,35 @@ def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_default_profile_three_engines(crp_seqs):
+    """Reference-default profile (collision band [7, 222],
+    src/Project4.scala:104-114): the frozen oracle-generated fixture
+    tests/data/crp177_default.ovl pins oracle == device == sharded.
+    (The Scala runtime is absent from the reference bundle, so the
+    fixture freezes our own oracle's output for this profile.)"""
+    import os
+
+    from sequence_aligner_tpu.io.ovl import parse_ovl
+    from sequence_aligner_tpu.models.overlapper import Overlapper
+    from sequence_aligner_tpu.oracle.overlap import oracle_overlaps
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "data", "crp177_default.ovl"
+    )
+    want = parse_ovl(fixture)
+    assert len(want) == 2388
+    s = AlignSettings()  # reference program defaults
+    key = lambda recs: [(r.id_a, r.id_b, r.ahg, r.bhg) for r in recs]
+    dev = Overlapper(s).run(crp_seqs)
+    assert key(dev) == key(want)
+    mesh = make_mesh(8)
+    shd = sharded_overlap(
+        crp_seqs, s, mesh,
+        caps=dict(cap_head=1 << 18, cap_tail=1 << 18, cap_agg=1 << 16,
+                  cap_out=1 << 13),
+    )
+    assert key(shd) == key(want)
+    orc = oracle_overlaps(crp_seqs, s)
+    assert key(sorted(orc, key=lambda r: (r.id_a, r.id_b))) == key(want)

@@ -6,11 +6,11 @@ Covers BASELINE.md's multi-chip measurement points.  Runs unchanged on:
   * the real chip(s)      — python tools/bench_sharded.py   (1-chip mesh today;
                             a v5e-8 slice would show an 8-wide mesh)
 
-Stage attribution: a single fused shard_map program cannot be timed from
-the host mid-flight, so the harness times TRUNCATED copies of the same
-step (``stop_after`` in parallel/shard.py) and reports deltas:
-kmer -> +hash-route all-to-all -> +pair expand/aggregate/route ->
-+read fetch all-to-all -> +align/emit.
+Stage attribution: a fused shard_map program cannot be timed from the
+host mid-flight, so the harness times TRUNCATED copies of each program
+(``stop_after``) and reports deltas.  The engine is two programs
+(pairs, align); the align program's batch is tiered from the pairs
+program's REAL per-device counts, exactly like the production driver.
 
 Prints ONE JSON line with reads/s, vs_baseline, and the stage split.
 Env knobs: SHARD_READS (default 32000), SHARD_READ_LEN (100),
@@ -37,15 +37,6 @@ N_READS = int(os.environ.get("SHARD_READS", "32000"))
 READ_LEN = int(os.environ.get("SHARD_READ_LEN", "100"))
 SIM_COVERAGE = float(os.environ.get("SHARD_SIM", "0"))
 
-STAGES = ["kmer", "route", "pairs", "fetch", None]  # None = full step
-STAGE_LABELS = {
-    "kmer": "kmer_extract",
-    "route": "hash_all_to_all",
-    "pairs": "pair_gen_aggregate",
-    "fetch": "read_fetch_all_to_all",
-    None: "align_emit",
-}
-
 
 def log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
@@ -67,7 +58,9 @@ def main():
 
     from sequence_aligner_tpu.core.settings import AlignSettings
     from sequence_aligner_tpu.ops.encode import encode_reads
-    from sequence_aligner_tpu.parallel.shard import make_sharded_overlap_step
+    from sequence_aligner_tpu.parallel.shard import (
+        _tier, make_sharded_align_step, make_sharded_pairs_step,
+    )
     from sequence_aligner_tpu.pipeline.datasets import (
         c_ruddii_reads, simulated_reads,
     )
@@ -106,7 +99,9 @@ def main():
         cap_pair_route=pow2(400 * n // n_dev),
         cap_out=pow2(800 * n // n_dev),
     )
-    log(f"{n} reads x {READ_LEN} bp on {n_dev}-device mesh, caps={caps}")
+    packed = (n + pad) < (1 << 16)
+    log(f"{n} reads x {READ_LEN} bp on {n_dev}-device mesh, "
+        f"packed={packed}, caps={caps}")
 
     bases_d, lengths_d, ids_d = (
         jnp.asarray(x) for x in (bases, lengths, ids)
@@ -118,30 +113,61 @@ def main():
         return int(np.asarray(out).sum())
 
     times = {}
-    prev = 0.0
-    result = None
-    for stop in STAGES:
-        step = make_sharded_overlap_step(
-            mesh, s, la_max=l, widths=widths, stop_after=stop, **caps
-        )
-        out = step(bases_d, lengths_d, ids_d)  # compile + warm
+
+    def timed(label, mk, *args):
+        step = mk()
+        out = step(*args)  # compile + warm
         sync(out)
         t0 = time.time()
-        out = step(bases_d, lengths_d, ids_d)
+        out = step(*args)
         sync(out)
         t = time.time() - t0
-        times[STAGE_LABELS[stop]] = round(t - prev, 4)
-        log(f"cumulative through {STAGE_LABELS[stop]}: {t:.3f}s")
-        prev = t
-        if stop is None:
-            result = out
-            total = t
+        log(f"{label}: {t:.3f}s")
+        return t, out
 
-    valid, lead, trail, ahg, bhg, drops = (np.asarray(x) for x in result)
+    # ---- pairs program: cumulative truncations -> deltas ----
+    pk = dict(packed=packed, **caps)
+    t_kmer, _ = timed(
+        "pairs[kmer]",
+        lambda: make_sharded_pairs_step(mesh, s, stop_after="kmer", **pk),
+        bases_d, lengths_d, ids_d)
+    t_route, _ = timed(
+        "pairs[route]",
+        lambda: make_sharded_pairs_step(mesh, s, stop_after="route", **pk),
+        bases_d, lengths_d, ids_d)
+    t_pairs, pout = timed(
+        "pairs[full]",
+        lambda: make_sharded_pairs_step(mesh, s, **pk),
+        bases_d, lengths_d, ids_d)
+    lead_d, trail_d, n_out_d, drops = pout
+    assert int(np.asarray(drops).sum()) == 0, np.asarray(drops)
+    n_out = np.asarray(n_out_d)
+    times["kmer_extract"] = round(t_kmer, 4)
+    times["hash_all_to_all"] = round(t_route - t_kmer, 4)
+    times["pair_gen_aggregate"] = round(t_pairs - t_route, 4)
+
+    # ---- align program at the production tier ----
+    cap_align = _tier(int(n_out.max()))
+    log(f"n_out per device: {n_out.tolist()} -> cap_align {cap_align}")
+    ak = dict(la_max=l, widths=widths, cap_align=cap_align)
+    t_fetch, _ = timed(
+        "align[fetch]",
+        lambda: make_sharded_align_step(mesh, s, stop_after="fetch", **ak),
+        bases_d, lengths_d, lead_d, trail_d)
+    t_align, aout = timed(
+        "align[full]",
+        lambda: make_sharded_align_step(mesh, s, **ak),
+        bases_d, lengths_d, lead_d, trail_d)
+    valid, lead, trail, ahg, bhg, adrops = (np.asarray(x) for x in aout)
+    assert adrops.sum() == 0, adrops
+    times["read_fetch_all_to_all"] = round(t_fetch, 4)
+    times["align_emit"] = round(t_align - t_fetch, 4)
+
+    total = t_pairs + t_align
     n_valid = int(valid.sum())
-    assert drops.sum() == 0, f"capacity drops in bench run: {drops}"
     rps = n / total
-    log(f"full step: {total:.3f}s -> {rps:.1f} reads/s, {n_valid} overlaps")
+    log(f"pairs {t_pairs:.3f}s + align {t_align:.3f}s = {total:.3f}s "
+        f"-> {rps:.1f} reads/s, {n_valid} overlaps")
     print(json.dumps({
         "metric": "sharded_overlap_reads_per_sec",
         "value": round(rps, 2),
@@ -151,6 +177,7 @@ def main():
         "backend": jax.default_backend(),
         "n_reads": n,
         "n_overlaps": n_valid,
+        "cap_align": cap_align,
         "stages_s": times,
     }))
 
