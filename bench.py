@@ -158,7 +158,12 @@ def main():
     # (la+1) x (width+1) bands of 3 int32 DP states (~12 VPU ops/cell);
     # v5e VPU peak ~ 3.96e12 int32 op/s (8x128x4 ALUs @ 940 MHz)
     width = s.band_width(READ_LEN)
-    cells = 2 * ov.stats.n_alignments * (READ_LEN + 1) * (width + 1)
+    # the split-align engine records the cells its tiered kernels actually
+    # loop over (phase-1 full bands + phase-2 only for non-dud pairs at
+    # dove-length-tier row counts); fall back to the 2-full-band formula
+    cells = ov.stats.dp_cells or (
+        2 * ov.stats.n_alignments * (READ_LEN + 1) * (width + 1)
+    )
     align_t = max(ov.timer.stages.get("align", elapsed), 1e-9)
     cells_s = cells / align_t
     vpu_util = cells_s * 12 / 3.96e12

@@ -78,6 +78,10 @@ class OverlapStats:
     n_candidate_pairs: int = 0
     n_alignments: int = 0
     n_valid: int = 0
+    # split-align accounting: pairs surviving phase-1 dud compaction, and
+    # the DP cells the tiered kernels actually loop over
+    n_phase2_pairs: int = 0
+    dp_cells: int = 0
 
 
 @jax.jit
@@ -201,6 +205,197 @@ def _align_chunk_compact(
     )
     valid = res["valid"] & in_range
     cols4 = jnp.stack([lead_c, trail_c, res["ahg"], res["bhg"]], axis=1)
+    incl = jnp.cumsum(valid.astype(jnp.int32))
+    slot = jnp.where(valid, incl - 1, vcap)
+    buf = jnp.zeros((vcap + 1, 4), jnp.int32).at[slot].set(
+        jnp.where(valid[:, None], cols4, 0)
+    )
+    return buf[:vcap], incl[bs - 1]
+
+
+def _dove_tiers(
+    la_max: int, width: int, min_overlap: int, min_identity: float,
+) -> tuple[tuple[int, int], ...]:
+    """Static (lo, hi] dove-length buckets for the split phase-2 pass;
+    each bucket's kernel loops only ``hi`` rows.  Non-dud dove lengths
+    are near-uniform in [0, la] in practice (probed on c_ruddii), so
+    thirds cut phase-2 row work to ~2/3 on top of the dud skip.
+
+    Pairs below the first bucket are PROVABLY invalid and skipped: every
+    backtrack step consumes a column, steps = du + dk + #Y with
+    du <= dove_len, dk <= w, and gaps are errors, so
+    steps * min_identity <= dove_len + w; validity needs
+    steps >= min_overlap, hence dove_len >= min_overlap*min_identity - w.
+    """
+    import math
+
+    lo0 = max(-1, int(math.floor(min_overlap * min_identity - width)) - 1)
+    if la_max <= 48:
+        return ((lo0, la_max),)
+    t1 = max(width + 4, la_max // 3, lo0 + 1)
+    t2 = max(2 * la_max // 3, t1 + 1)
+    if t2 >= la_max:
+        return ((lo0, t1), (t1, la_max))
+    return ((lo0, t1), (t1, t2), (t2, la_max))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("bs", "width", "la_max", "cm_tuple", "gO", "gE", "pblk"),
+)
+def _phase1_chunk(
+    bases, lengths, packed, lead, trail, idx, lo, count, *,
+    bs: int, width: int, la_max: int, cm_tuple, gO: int, gE: int, pblk: int,
+):
+    """Split-align pass A: phase-1 anchoring only.  Returns the chunk's
+    per-pair dove lengths [bs] int32 with -1 marking DUD pairs (phase-1
+    backtrack fails to reach B column 0, src/BioLibs.scala:464-466).
+    Duds can never validate, so phase 2 — the costlier kernel — never
+    sees them (~54% of candidates on the c_ruddii bench)."""
+    from sequence_aligner_tpu.ops.align_fused import (
+        _interpret, _phase1_fused_scan, kernel_interpret,
+        phase1_fused_packed,
+    )
+
+    sel = jax.lax.dynamic_slice(idx, (lo,), (bs,))
+    lead_c = lead[sel]
+    a_idx = jnp.clip(lead_c - 1, 0, bases.shape[0] - 1)
+    b_idx = jnp.clip(trail[sel] - 1, 0, bases.shape[0] - 1)
+    a_len = lengths[a_idx]
+    b_len = lengths[b_idx]
+    kw = dict(la_max=la_max, w=width, gO=gO, gE=gE, cm_tuple=cm_tuple)
+    if not _interpret():
+        p1 = phase1_fused_packed(
+            packed[a_idx].T, packed[b_idx].T, a_len,
+            pblk=pblk, interpret=kernel_interpret(), **kw,
+        )
+    else:
+        p1 = _phase1_fused_scan(
+            bases[a_idx].astype(jnp.int32).T,
+            bases[b_idx].astype(jnp.int32).T, a_len, **kw,
+        )
+    best1, bi, bj, fi_c, fj_c = p1
+    # dud rule exactly as _dovetail_glue: b shorter than the band duds,
+    # and the backtrack start must sit at B column 0
+    act1 = (best1 > 0) & (b_len >= width)
+    fi = jnp.where(act1, fi_c, bi)
+    fj = jnp.where(act1, fj_c, bj)
+    in_range = (lo + jnp.arange(bs, dtype=jnp.int32)) < count
+    live = act1 & (fj == 0) & in_range
+    # per-pair dove length, -1 for duds: the tier pass is then pure
+    # compares over this array — no gathers, no compaction scatters
+    return jnp.where(live, a_len - fi, -1)
+
+
+@jax.jit
+def _tier_counts(dlen_all, bounds):
+    """[T] live-pair counts for (lo, hi] dove-length ranges (bounds
+    [T, 2]) — ONE fetch sizes every phase-2 launch."""
+    d = dlen_all[None, :]
+    return jnp.sum(
+        ((d > bounds[:, 0:1]) & (d <= bounds[:, 1:2])).astype(jnp.int32),
+        axis=1,
+    )
+
+
+@jax.jit
+def _tier_indices(dlen_all, tier_lo, tier_hi):
+    """Bucket positions (into the width bucket's pair order) whose dove
+    length falls in (tier_lo, tier_hi] (duds carry -1 and never match:
+    tier_lo >= -1 always).  Returns (idx [cap], count)."""
+    cap = dlen_all.shape[0]
+    mask = (dlen_all > tier_lo) & (dlen_all <= tier_hi)
+    incl = jnp.cumsum(mask.astype(jnp.int32))
+    slot = jnp.where(mask, incl - 1, cap)
+    idx = jnp.zeros((cap + 1,), jnp.int32).at[slot].set(
+        jnp.arange(cap, dtype=jnp.int32)
+    )
+    return idx[:cap], incl[cap - 1]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "bs", "width", "rows", "cm_tuple", "gO", "gE", "pblk", "vcap",
+    ),
+)
+def _phase2_chunk_compact(
+    bases, lengths, packed, lead, trail, idx, dlen_all, tier_idx, lo,
+    count, *,
+    bs: int, width: int, rows: int, cm_tuple, gO: int, gE: int,
+    min_identity, min_overlap, max_ignore, pblk: int, vcap: int,
+):
+    """Split-align pass B: phase 2 + validity over one dove-length tier's
+    chunk, DP looping only ``rows`` rows (>= every dove length in the
+    tier).  Returns ([vcap, 4] of (lead, trail, ahg, bhg) valid rows,
+    count).  Validity replicates _dovetail_glue for non-dud pairs
+    (src/ObjectStore.scala:102-141)."""
+    from sequence_aligner_tpu.ops.align_fused import (
+        _dove_shift_packed, _interpret, _phase2_fused_scan,
+        kernel_interpret, phase2_fused_packed,
+    )
+
+    sel = jax.lax.dynamic_slice(tier_idx, (lo,), (bs,))
+    pos = idx[sel]
+    dlen = dlen_all[sel]
+    lead_c = lead[pos]
+    trail_c = trail[pos]
+    a_idx = jnp.clip(lead_c - 1, 0, bases.shape[0] - 1)
+    b_idx = jnp.clip(trail_c - 1, 0, bases.shape[0] - 1)
+    a_len = lengths[a_idx]
+    b_len = lengths[b_idx]
+    ds = a_len - dlen
+    zero_row = width // 2
+    kw = dict(
+        la_max=rows, w=width, zero_row=zero_row, gO=gO, gE=gE,
+        cm_tuple=cm_tuple,
+    )
+    if not _interpret():
+        p2 = phase2_fused_packed(
+            packed[a_idx].T, packed[b_idx].T, ds, dlen, b_len,
+            pblk=pblk, interpret=kernel_interpret(), **kw,
+        )
+    else:
+        lb_max = bases.shape[1]
+        p = bs
+        a_shift = _dove_shift_packed(packed, a_idx, ds, rows)
+        pad_top = zero_row + 1
+        pad_bot = max(rows + width + 1 - pad_top - lb_max, 0)
+        b_pad = jnp.concatenate(
+            [
+                jnp.zeros((pad_top, p), jnp.int32),
+                bases[b_idx].astype(jnp.int32).T,
+                jnp.zeros((pad_bot, p), jnp.int32),
+            ],
+            axis=0,
+        )
+        p2 = _phase2_fused_scan(a_shift, b_pad, dlen, b_len, **kw)
+    best2, bu, bk, uf_c, kf_c, corr_c, err_c = p2
+    act2 = best2 > 0
+    uf = jnp.where(act2, uf_c, bu)
+    kf = jnp.where(act2, kf_c, bk)
+    z = jnp.zeros_like(uf)
+    corr = jnp.where(act2, corr_c, z)
+    err = jnp.where(act2, err_c, z)
+    steps = corr + err
+    start_i = uf + ds
+    start_j = kf - zero_row + uf
+    end_i = bu + ds
+    end_j = bk - zero_row + bu
+    tot = steps.astype(jnp.float32)
+    ident_ok = corr.astype(jnp.float32) / tot >= min_identity
+    len_ok = steps >= min_overlap
+    dovetail = ((start_i == 0) & (b_len == end_j)) | (
+        (start_j == 0) & (a_len == end_i)
+    )
+    ahg = start_i - start_j
+    bhg = b_len - a_len + ahg
+    hang_ok = (jnp.abs(ahg) < max_ignore) & (jnp.abs(bhg) < max_ignore)
+    in_range = (lo + jnp.arange(bs, dtype=jnp.int32)) < count
+    valid = (
+        act2 & (tot > 0) & ident_ok & len_ok & dovetail & hang_ok & in_range
+    )
+    cols4 = jnp.stack([lead_c, trail_c, ahg, bhg], axis=1)
     incl = jnp.cumsum(valid.astype(jnp.int32))
     slot = jnp.where(valid, incl - 1, vcap)
     buf = jnp.zeros((vcap + 1, 4), jnp.int32).at[slot].set(
@@ -391,7 +586,30 @@ class Overlapper:
             min_overlap=jnp.int32(s.min_overlap),
             max_ignore=jnp.int32(s.max_ignore), kernel=kernel,
         )
-        bufs, cnts, retry_args = [], [], []
+        bufs, cnts, retries = [], [], []
+
+        def _bs_pblk(count_h):
+            # pow2 lane-aligned batch, floor 128: the kernels launch
+            # grid=(bs // pblk,), so bs < pblk (e.g. --single-align's
+            # batch_size=1) would be a ZERO-size grid returning
+            # uninitialized buffers; clamp both sides
+            b = _pow2_at_least(
+                min(self.batch_size, _pow2_at_least(count_h, 1024)), 128
+            )
+            return b, min(1024, b)
+
+        def _pad_idx(ix, count_h, b):
+            # dynamic_slice CLAMPS out-of-range starts: if the chunk grid
+            # ceil(count/bs)*bs overruns the index array, the last chunk
+            # would silently re-read earlier slots — pad it to the grid
+            # size first.  Padding slots index pair 0; masked invalid.
+            need = ((count_h + b - 1) // b) * b
+            if need > int(ix.shape[0]):
+                ix = jnp.concatenate(
+                    [ix, jnp.zeros((need - int(ix.shape[0]),), jnp.int32)]
+                )
+            return ix
+
         for w in widths:
             if kernel == "quad":  # full SW has no band: one bucket of all
                 idx = jnp.arange(lead_dev.shape[0], dtype=jnp.int32)
@@ -403,66 +621,111 @@ class Overlapper:
             cnt_h = n_pairs if len(widths) == 1 else int(cnt)
             if cnt_h == 0:
                 continue
-            # pow2 lane-aligned batch, floor 128: the kernels launch
-            # grid=(bs // pblk,), so bs < pblk (e.g. --single-align's
-            # batch_size=1) would be a ZERO-size grid returning
-            # uninitialized buffers; clamp both sides
-            bs = _pow2_at_least(
-                min(self.batch_size, _pow2_at_least(cnt_h, 1024)), 128
+            bs, pblk = _bs_pblk(cnt_h)
+            idx = _pad_idx(idx, cnt_h, bs)
+            if kernel == "quad":
+                # per-chunk valid capacity: ~3% of pairs validate at scale
+                # and 1/8 leaves a wide margin; small inputs can have
+                # majority-valid chunks (crp177: 67%), so below 64k pairs
+                # the buffer holds everything.  Overfull chunks re-run the
+                # compact program at a grown vcap tier.
+                vcap = bs if bs <= (1 << 16) else bs // 8
+                for lo in range(0, cnt_h, bs):
+                    def runq(v, _i=idx, _lo=lo, _c=cnt, _b=bs, _w=w, _p=pblk):
+                        return _align_chunk_compact(
+                            bases_d, lengths_d, packed_d, lead_dev,
+                            trail_dev, _i, jnp.int32(_lo), _c,
+                            bs=_b, width=_w, pblk=_p, vcap=v, **kw,
+                        )
+
+                    buf, cnt_c = runq(vcap)
+                    bufs.append(buf)
+                    cnts.append(cnt_c)
+                    retries.append((runq, bs))
+                continue
+
+            # ---- fused: split phases.  Pass A: phase 1 everywhere (~54%
+            # of candidates dud there and never reach phase 2, the
+            # costlier kernel) ----
+            p1kw = dict(
+                la_max=la_max, cm_tuple=cm_tuple, gO=s.gap_open,
+                gE=s.gap_extend,
             )
-            pblk = min(1024, bs)
-            # dynamic_slice CLAMPS out-of-range starts: if the chunk grid
-            # ceil(cnt_h/bs)*bs overruns idx, the last chunk would silently
-            # re-read earlier slots (dropping tail pairs, duplicating
-            # earlier ones) — pad idx to the grid size first.  Padding
-            # slots index pair 0; in_range masks them invalid.
-            need = ((cnt_h + bs - 1) // bs) * bs
-            if need > int(idx.shape[0]):
-                idx = jnp.concatenate(
-                    [idx, jnp.zeros((need - int(idx.shape[0]),), jnp.int32)]
-                )
-            # per-chunk valid capacity: at production scale ~3% of pairs
-            # validate and 1/8 leaves a wide margin; small inputs can have
-            # majority-valid chunks (crp177: 67%), so below 64k pairs the
-            # buffer just holds everything.  An overfull chunk is counted
-            # and re-run through the compact program at a grown vcap tier
-            # (the round-3 full-result retry fetched [bs, 12] — 48 MB per
-            # 1M-pair chunk through the tunnel — and made the 100k-read
-            # artifact's align stage 5x slower than the kernels).
-            vcap = bs if bs <= (1 << 16) else bs // 8
-            for lo in range(0, cnt_h, bs):
-                buf, cnt_c = _align_chunk_compact(
+            dparts = [
+                _phase1_chunk(
                     bases_d, lengths_d, packed_d, lead_dev, trail_dev, idx,
-                    jnp.int32(lo), cnt,
-                    bs=bs, width=w, pblk=pblk, vcap=vcap, **kw,
+                    jnp.int32(lo), cnt, bs=bs, width=w, pblk=pblk, **p1kw,
                 )
-                bufs.append(buf)
-                cnts.append(cnt_c)
-                retry_args.append((idx, lo, cnt, bs, w, pblk))
+                for lo in range(0, cnt_h, bs)
+            ]
+            dlen_all = dparts[0] if len(dparts) == 1 else jnp.concatenate(
+                dparts
+            )
+            self.stats.dp_cells += cnt_h * (la_max + 1) * (w + 1)
+            # ---- pass B: phase 2 per dove-length tier (each tier's
+            # kernel loops only its max dove length in rows; dove lengths
+            # below the first tier are provably invalid and skipped) ----
+            tiers = _dove_tiers(la_max, w, s.min_overlap, s.min_identity)
+            tcnt_all = _tier_counts(
+                dlen_all, jnp.asarray(np.asarray(tiers, np.int32))
+            )
+            tcnt_hs = [int(x) for x in np.asarray(tcnt_all)]  # one fetch
+            for (tlo, thi), tcnt_h in zip(tiers, tcnt_hs):
+                if tcnt_h == 0:
+                    continue
+                tidx, tcnt = _tier_indices(
+                    dlen_all, jnp.int32(tlo), jnp.int32(thi)
+                )
+                self.stats.n_phase2_pairs += tcnt_h
+                self.stats.dp_cells += tcnt_h * (thi + 1) * (w + 1)
+                bs2, pblk2 = _bs_pblk(tcnt_h)
+                tidx = _pad_idx(tidx, tcnt_h, bs2)
+                vcap = bs2 if bs2 <= (1 << 16) else bs2 // 8
+                p2kw = dict(
+                    width=w, rows=thi, cm_tuple=cm_tuple, gO=s.gap_open,
+                    gE=s.gap_extend,
+                    min_identity=jnp.float32(s.min_identity),
+                    min_overlap=jnp.int32(s.min_overlap),
+                    max_ignore=jnp.int32(s.max_ignore), pblk=pblk2,
+                )
+                for lo in range(0, tcnt_h, bs2):
+                    def run2(
+                        v, _i=idx, _d=dlen_all, _t=tidx, _lo=lo, _c=tcnt,
+                        _b=bs2, _kw=p2kw,
+                    ):
+                        return _phase2_chunk_compact(
+                            bases_d, lengths_d, packed_d, lead_dev,
+                            trail_dev, _i, _d, _t, jnp.int32(_lo), _c,
+                            bs=_b, vcap=v, **_kw,
+                        )
+
+                    buf, cnt_c = run2(vcap)
+                    bufs.append(buf)
+                    cnts.append(cnt_c)
+                    retries.append((run2, bs2))
         self.stats.n_alignments = n_pairs
         if not bufs:
             return empty
         host_cnt = np.asarray(jnp.stack(cnts))
-        allbuf = bufs[0] if len(bufs) == 1 else jnp.concatenate(bufs, axis=0)
-        host_buf = np.asarray(allbuf)
         parts = []
-        off = 0
         for i, c in enumerate(host_cnt):
             vcap_i = bufs[i].shape[0]
             c = int(c)
+            if c == 0:
+                continue
             if c > vcap_i:  # rare: chunk's valid rows overflowed the cap
-                idx, lo, cnt, bs, w, pblk = retry_args[i]
+                run, bs_i = retries[i]
                 printdb(f"align chunk {i}: {c} valid > vcap {vcap_i}; rerun")
-                vcap2 = min(bs, _pow2_at_least(c, 1 << 16))
-                buf2, _ = _align_chunk_compact(
-                    bases_d, lengths_d, packed_d, lead_dev, trail_dev, idx,
-                    jnp.int32(lo), cnt, bs=bs, width=w, pblk=pblk,
-                    vcap=vcap2, **kw,
-                )
+                vcap2 = min(bs_i, _pow2_at_least(c, 1 << 16))
+                buf2, _ = run(vcap2)
                 parts.append(np.asarray(buf2)[:c])
             else:
-                parts.append(host_buf[off : off + c])
-            off += vcap_i
+                # fetch a pow2-tier slice, not the whole padded buffer:
+                # the device tunnel moves ~25 MB/s, so fetching vcap
+                # padding is real wall-clock (few distinct slice shapes
+                # keep the tiny slice programs cached)
+                t = min(vcap_i, _pow2_at_least(c, 4096))
+                parts.append(np.asarray(bufs[i][:t])[:c])
         packed_rows = np.concatenate(parts) if parts else np.zeros((0, 4), np.int32)
         n_valid = int(packed_rows.shape[0])
         self.stats.n_valid = n_valid

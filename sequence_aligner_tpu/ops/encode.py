@@ -30,6 +30,13 @@ def encode_reads(
     lengths = np.asarray([len(q.seq) for q in seqs], dtype=np.int32)
     if l_max is None:
         l_max = int(lengths.max()) if n else 0
+    if n and l_max and (lengths == l_max).all():
+        # uniform-length fast path: one joined buffer + one LUT pass
+        # (the per-read loop is host-side O(N) Python at 1M+ reads)
+        blob = np.frombuffer(
+            "".join(q.seq for q in seqs).encode("ascii"), dtype=np.uint8
+        )
+        return _LUT[blob].reshape(n, l_max), lengths
     bases = np.zeros((n, l_max), dtype=np.int8)
     for i, q in enumerate(seqs):
         b = np.frombuffer(q.seq.encode("ascii"), dtype=np.uint8)[:l_max]

@@ -603,15 +603,14 @@ def _sort_keys_diag_jit(key_h, key_t, diag_h, diag_t):
 
 @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
 def _sort_pairs_np_jit(h_fst, h_snd, t_fst, t_snd):
-    """Radix aggregation for the general-id path: stable sort by snd,
-    then stable sort by fst.  Operands arrive pre-masked (invalid rows
-    carry +inf in both columns and sink) and are donated — at 1M-read
-    caps they are multi-GB and die here."""
+    """Aggregation sort for the general-id path (>16-bit read ids): ONE
+    unstable 2-key lexicographic sort — there is no payload, so stability
+    buys nothing, and the earlier two stable passes cost ~2x.  Operands
+    arrive pre-masked (invalid rows carry +inf in both columns and sink)
+    and are donated — at 1M-read caps they are multi-GB and die here."""
     fstm = jnp.concatenate([h_fst, t_fst])
-    key1 = jnp.concatenate([h_snd, t_snd])
-    key1, fstm = jax.lax.sort((key1, fstm), num_keys=1, is_stable=True)
-    fst2, snd2 = jax.lax.sort((fstm, key1), num_keys=1, is_stable=True)
-    return fst2, snd2
+    sndm = jnp.concatenate([h_snd, t_snd])
+    return jax.lax.sort((fstm, sndm), num_keys=2, is_stable=False)
 
 
 def _run_length_keep(fst2, snd2, okv, min_collisions, max_collisions):

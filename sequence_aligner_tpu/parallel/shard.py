@@ -363,6 +363,7 @@ def make_sharded_align_step(
     la_max: int,
     widths: tuple[int, ...],
     cap_align: int,
+    cap_fetch: int | None = None,
     cap_width: tuple[int, ...] | None = None,
     axis: str = "shard",
     stop_after: str | None = None,
@@ -381,6 +382,12 @@ def make_sharded_align_step(
     n_dev = mesh.shape[axis]
     if cap_width is None:
         cap_width = tuple(cap_align for _ in widths)
+    if cap_fetch is None:
+        # per-DESTINATION request bin: 2*cap_align requests spread over
+        # n_dev id-owners (ids are uniform across blocks); 2x slack.
+        # Sizing it at cap_align would make the bins n_dev x larger than
+        # the traffic and blow HBM at pod scale.
+        cap_fetch = _tier(max(4 * cap_align // max(n_dev, 1), 1024))
     wtab = jnp.asarray(
         [s.band_width(l) for l in range(la_max + 1)], np.int32
     )
@@ -443,16 +450,20 @@ def make_sharded_align_step(
             acc += jnp.sum(a.astype(jnp.int32))
         return acc[None]
 
-    def step(bases, lengths, lead_full, trail_full):
+    def step(bases, lengths, lead_full, trail_full, lo):
         n_local = bases.shape[0]
         cap_pairs = lead_full.shape[0]
         if cap_pairs >= cap_align:
-            lead = jax.lax.slice_in_dim(lead_full, 0, cap_align)
-            trail = jax.lax.slice_in_dim(trail_full, 0, cap_align)
-            # pairs beyond the align tier (hole slots are 0) are counted,
-            # never silently skipped
-            tail = jax.lax.slice_in_dim(lead_full, cap_align, cap_pairs)
-            trunc = jnp.sum((tail > 0).astype(jnp.int32))
+            # window [lo, lo + cap_align) of this device's pair table —
+            # the driver loops lo so huge tables align in chunks; pairs
+            # beyond the driver's last window are counted, never silent
+            lead = jax.lax.dynamic_slice_in_dim(lead_full, lo, cap_align)
+            trail = jax.lax.dynamic_slice_in_dim(trail_full, lo, cap_align)
+            covered = jnp.minimum(lo + cap_align, cap_pairs)
+            idxs = jnp.arange(cap_pairs, dtype=jnp.int32)
+            trunc = jnp.sum(
+                ((idxs >= covered) & (lead_full > 0)).astype(jnp.int32)
+            )
         else:  # degenerate: align tier above the pairs capacity
             pad = cap_align - cap_pairs
             lead = jnp.concatenate([lead_full, jnp.zeros((pad,), jnp.int32)])
@@ -463,7 +474,7 @@ def make_sharded_align_step(
         # ---- fetch ONLY the needed read rows ----
         need = jnp.concatenate([lead, trail])
         rows, lens, drop_req = _fetch_read_rows(
-            need, bases, lengths, n_local, n_dev, axis, cap_req=cap_align,
+            need, bases, lengths, n_local, n_dev, axis, cap_req=cap_fetch,
         )
         a_rows, b_rows = rows[:cap_align], rows[cap_align:]
         a_lens, b_lens = lens[:cap_align], lens[cap_align:]
@@ -486,7 +497,7 @@ def make_sharded_align_step(
     sharded = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(axis),) * 4,
+        in_specs=(P(axis),) * 4 + (P(),),  # window offset is replicated
         out_specs=P(axis) if stop_after else (P(axis),) * 6,
         check_vma=False,
     )
@@ -508,7 +519,7 @@ _PAIR_DROP_CAPS = (
     ("cap_agg",), ("cap_out",),
 )
 # align-step drop-counter index -> capacities to double on retry
-_ALIGN_DROP_CAPS = (("cap_align",), ("cap_align",), ("cap_width",))
+_ALIGN_DROP_CAPS = (("cap_align",), ("cap_fetch",), ("cap_width",))
 
 
 def sharded_overlap(
@@ -546,7 +557,12 @@ def sharded_overlap(
     packed = (n + pad) < (1 << 16)  # ids fit 16 bits -> packed pair keys
 
     caps = dict(caps or {})
-    caps.setdefault("cap_route", max(1024, 2 * n_kmers // max(n_dev, 1)))
+    # per-DESTINATION bin: each device holds ~n_kmers/n_dev occurrences
+    # and hash-routes them uniformly over n_dev destinations (2x slack) —
+    # sizing by global k-mers would make the bins n_dev x the traffic
+    caps.setdefault(
+        "cap_route", max(1024, 2 * n_kmers // max(n_dev * n_dev, 1))
+    )
     caps.setdefault("cap_head", 1 << 20)
     caps.setdefault("cap_tail", 1 << 20)
     caps.setdefault("cap_agg", 1 << 18)
@@ -599,6 +615,9 @@ def sharded_overlap(
     n_out = to_host(n_out_d)
     # ---- align program at a tier sized from the REAL pair counts ----
     caps.setdefault("cap_align", _tier(int(n_out.max()) if n_out.size else 0))
+    caps.setdefault(
+        "cap_fetch", _tier(max(4 * caps["cap_align"] // n_dev, 1024))
+    )
     if len(widths) > 1 and "cap_width" not in caps:
         # initial per-width bucket capacity ~ the width class's share of
         # reads (x2 slack), rounded to the Pallas lane-block multiple
@@ -611,35 +630,50 @@ def sharded_overlap(
                 * 256)
             for w in widths
         )
+    # the align program processes cap_align-sized windows of each
+    # device's pair table; the driver loops the window offset (huge runs
+    # reuse ONE compiled program across windows)
+    max_out = int(n_out.max()) if n_out.size else 0
     while True:
         align_step = make_sharded_align_step(
             mesh, s, la_max=l, widths=widths,
-            cap_align=caps["cap_align"], cap_width=caps.get("cap_width"),
+            cap_align=caps["cap_align"], cap_fetch=caps["cap_fetch"],
+            cap_width=caps.get("cap_width"),
         )
-        valid, lead, trail, ahg, bhg, adrops = align_step(
-            bases_d, lengths_d, lead_d, trail_d
-        )
-        adrops = to_host(adrops).sum(axis=0)
-        if adrops.sum() == 0:
+        outs = []
+        adrops_tot = np.zeros(3, np.int64)
+        n_win = max(-(-max_out // caps["cap_align"]), 1)
+        for wi in range(n_win):
+            valid, lead, trail, ahg, bhg, adrops = align_step(
+                bases_d, lengths_d, lead_d, trail_d,
+                jnp.int32(wi * caps["cap_align"]),
+            )
+            outs.append((valid, lead, trail, ahg, bhg))
+            adrops = to_host(adrops).sum(axis=0)
+            if wi < n_win - 1:
+                adrops[0] = 0  # window truncation covered by later windows
+            adrops_tot += adrops
+        if adrops_tot.sum() == 0:
             break
         for i, capnames in enumerate(_ALIGN_DROP_CAPS):
-            if adrops[i] > 0:
+            if adrops_tot[i] > 0:
                 for name in capnames:
                     if isinstance(caps.get(name), tuple):
                         caps[name] = tuple(2 * c for c in caps[name])
                     else:
                         caps[name] *= 2
 
-    valid = to_host(valid)
-    lead, trail = to_host(lead), to_host(trail)
-    ahg, bhg = to_host(ahg), to_host(bhg)
-    idx = np.nonzero(valid)[0]
-    recs = [
-        OverlapRecord(
-            id_a=int(lead[i]), id_b=int(trail[i]),
-            ahg=int(ahg[i]), bhg=int(bhg[i]),
+    rows = []
+    for valid, lead, trail, ahg, bhg in outs:
+        valid = to_host(valid)
+        lead, trail = to_host(lead), to_host(trail)
+        ahg, bhg = to_host(ahg), to_host(bhg)
+        idx = np.nonzero(valid)[0]
+        rows.extend(
+            (int(lead[i]), int(trail[i]), int(ahg[i]), int(bhg[i]))
+            for i in idx
         )
-        for i in idx
+    rows.sort()
+    return [
+        OverlapRecord(id_a=a, id_b=b, ahg=h, bhg=g) for a, b, h, g in rows
     ]
-    recs.sort(key=OverlapRecord.sort_key)
-    return recs

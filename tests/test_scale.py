@@ -33,7 +33,8 @@ def test_sharded_scale_sim():
     # capacities sized O(N / n_dev): the point of hash-prefix sharding
     kmers_per_dev = n_reads * 89 // n_dev
     caps = dict(
-        cap_route=2 * kmers_per_dev,
+        # per-DESTINATION route bin: ~kmers_per_dev / n_dev expected
+        cap_route=max(1024, kmers_per_dev // n_dev * 2),
         cap_head=4 * kmers_per_dev,
         cap_tail=4 * kmers_per_dev,
         cap_agg=n_reads // 2,

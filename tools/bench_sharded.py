@@ -153,11 +153,11 @@ def main():
     t_fetch, _ = timed(
         "align[fetch]",
         lambda: make_sharded_align_step(mesh, s, stop_after="fetch", **ak),
-        bases_d, lengths_d, lead_d, trail_d)
+        bases_d, lengths_d, lead_d, trail_d, jnp.int32(0))
     t_align, aout = timed(
         "align[full]",
         lambda: make_sharded_align_step(mesh, s, **ak),
-        bases_d, lengths_d, lead_d, trail_d)
+        bases_d, lengths_d, lead_d, trail_d, jnp.int32(0))
     valid, lead, trail, ahg, bhg, adrops = (np.asarray(x) for x in aout)
     assert adrops.sum() == 0, adrops
     times["read_fetch_all_to_all"] = round(t_fetch, 4)
