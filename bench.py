@@ -36,6 +36,10 @@ HASH_OVERLAP_READS_PER_S = 450.0
 N_READS = int(os.environ.get("BENCH_READS", "32000"))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", "100"))
 ERROR_RATE = float(os.environ.get("BENCH_ERROR_RATE", "0"))
+# BENCH_K: k-mer size (12 = reference default; 16 = BASELINE config-1's
+# choice, needed at multi-Mbp sim-genome scale where k=12 saturates the
+# 24-bit hash space and the raw cross-product stream outgrows one chip)
+KMER_K = int(os.environ.get("BENCH_K", "12"))
 # BENCH_SIM=<coverage>: random-genome simulated dataset at that coverage
 # instead of the c_ruddii shred (for assignment-scale runs, e.g.
 # BENCH_READS=100000 BENCH_SIM=8)
@@ -125,7 +129,7 @@ def main():
         )
     log(f"dataset: {len(seqs)} reads x {READ_LEN} bp (error {ERROR_RATE}"
         f"{f', sim coverage {SIM_COVERAGE}' if SIM_COVERAGE else ''})")
-    s = AlignSettings.amos_parity()
+    s = AlignSettings.amos_parity(kmer_size=KMER_K)
 
     # warmup pass: triggers all compiles at the exact production shapes
     # (run_arrays is the production emission surface: canonical arrays

@@ -53,6 +53,8 @@ Engine options:
   --st-hash/--mt-hash --st-align/--mt-align --block-align/--single-align
   --quadratic-align/--linear-align
   --engine device|oracle|sharded    --batch-size N    --workdir DIR
+  --prescreen          diagonal-coherence candidate prescreen (device
+                       engine; empirically lossless, off by default)
   -i|--input FILE   -o|--output FILE   --debug   --profile DIR
 """
 
@@ -83,6 +85,7 @@ class Options:
         self.profile_dir = ""
         self.workdir = "/tmp/seqalign_pipe"
         self.amos_parity = False
+        self.prescreen = False
 
     def settings(self) -> AlignSettings:
         if self.hoxd:
@@ -173,6 +176,10 @@ def parse_args(argv: list[str]) -> Options:
             o.workdir = argv[i + 1]; i += 2
         elif a == "--amos-parity":
             o.amos_parity = True; i += 1
+        elif a == "--prescreen":
+            o.prescreen = True; i += 1
+        elif a == "--no-prescreen":
+            o.prescreen = False; i += 1
         elif a == "--debug":
             o.debug = True; i += 1
         elif a == "--profile":
@@ -242,7 +249,8 @@ def main(argv: list[str] | None = None) -> int:
                 from sequence_aligner_tpu.models.overlapper import Overlapper
 
                 arrs = Overlapper(
-                    s, fast_dovetail=o.fast_dovetail, batch_size=o.batch_size
+                    s, fast_dovetail=o.fast_dovetail,
+                    batch_size=o.batch_size, prescreen=o.prescreen,
                 ).run_arrays(_read(o))
                 n = write_ovl_arrays(arrs, o.output or None)
             else:

@@ -446,9 +446,12 @@ class Overlapper:
         self._max_read_id = n  # ordinal ids; drives packed-key eligibility
         real = lengths[lengths > 0]
         den = int(real[0]) - self.s.kmer_size if real.size else 0
+        # eligible while (rid << pos_bits | pos) fits 31 bits — the
+        # position field adapts to the read length (ops.pairgen._pos_bits)
         self._uniform_den = (
             den
-            if 0 < den < (1 << 12) and n < (1 << 18)
+            if 0 < den
+            and n.bit_length() + den.bit_length() <= 31
             and bool((real == real[0]).all())
             else 0
         )

@@ -170,8 +170,9 @@ def _phase1_row(carry, i, a_code, *, b_codes, alen, karr, la_max, w, gO, gE, cm_
 
     Pure function of the carried band state — the Pallas kernel runs it
     under ``fori_loop`` and the CPU path under ``lax.scan``, so both
-    backends share one source of semantics."""
-    mp, xp, yp, sp, best, bi, bj, fst = carry
+    backends share one source of semantics.  ``cont`` carries the
+    previous row's liveness mask (mx > 0) so it is never recomputed."""
+    mp, xp, yp, sp, cont, best, bi, bj, fst = carry
     pblk = a_code.shape[0]
     cols = w + 1
     sub = _sub_row(a_code, b_codes, cm_tuple, pblk)
@@ -190,7 +191,7 @@ def _phase1_row(carry, i, a_code, *, b_codes, alen, karr, la_max, w, gO, gE, cm_
     x_new = jnp.concatenate([zrow1, (k1 + 1) * gE + run], axis=0)
 
     br, mx = _branch(m_new, x_new, y_new)
-    cont_i = (_max3(mp, xp, yp) > 0).astype(jnp.int32)  # row i-1 live
+    cont_i = cont  # row i-1 liveness, carried from its own mx
 
     # M branch: pred = (i-1, k-1); Y branch: pred = (i-1, k)
     # (int32 shift, not bool concat — Mosaic rejects i1 vector selects)
@@ -225,13 +226,14 @@ def _phase1_row(carry, i, a_code, *, b_codes, alen, karr, la_max, w, gO, gE, cm_
     bi = jnp.where(upd, i, bi)
     bj = jnp.where(upd, jb, bj)
     fst = jnp.where(upd, cap, fst)
-    return m_new, x_new, y_new, s_new, best, bi, bj, fst
+    cont_new = (mx > 0).astype(jnp.int32)
+    return m_new, x_new, y_new, s_new, cont_new, best, bi, bj, fst
 
 
 def _phase1_init(cols, pblk):
     zero = jnp.zeros((cols, pblk), jnp.int32)
     z = jnp.zeros((pblk,), jnp.int32)
-    return zero, zero, zero, zero, z, z, z, z
+    return zero, zero, zero, zero, zero, z, z, z, z
 
 
 def _unpack_static(w_ref, r: int):
@@ -366,10 +368,10 @@ def _phase2_row(
     (sh_u, sh_k, bits_c) -> ONE merged chain carrying all four fields.
     The band window of B is carried and slid one row per step."""
     if pack is None:
-        mp, xp, yp, sp, cp, best, bu, bk, fst, fct, b_codes = carry
+        mp, xp, yp, sp, cp, cont, best, bu, bk, fst, fct, b_codes = carry
     else:
         sh_u, sh_k, bits_c = pack
-        mp, xp, yp, sp, best, bu, bk, fst, b_codes = carry
+        mp, xp, yp, sp, cont, best, bu, bk, fst, b_codes = carry
     pblk = a_code.shape[0]
     cols = w + 1
     sub = _sub_row(a_code, b_codes, cm_tuple, pblk)
@@ -393,7 +395,7 @@ def _phase2_row(
 
     br, mx = _branch(m_new, x_new, y_new)
     # int32 masks throughout: Mosaic rejects selects producing i1 vectors
-    cont_i = (_max3(mp, xp, yp) > 0).astype(jnp.int32)
+    cont_i = cont  # row u-1 liveness, carried from its own mx
     is_m = br == 0
 
     # M branch: pred = (u-1, k); Y branch: pred = (u-1, k+1)
@@ -449,10 +451,12 @@ def _phase2_row(
 
     # slide the band window down one row of b_pad
     b_next = jnp.concatenate([b_codes[1:], nxt_row[None, :]], axis=0)
+    cont_new = (mx > 0).astype(jnp.int32)
     if pack is None:
         fct = jnp.where(upd, jnp.max(jnp.where(sel, c_new, 0), axis=0), fct)
-        return m_new, x_new, y_new, s_new, c_new, best, bu, bk, fst, fct, b_next
-    return m_new, x_new, y_new, s_new, best, bu, bk, fst, b_next
+        return (m_new, x_new, y_new, s_new, c_new, cont_new, best, bu, bk,
+                fst, fct, b_next)
+    return m_new, x_new, y_new, s_new, cont_new, best, bu, bk, fst, b_next
 
 
 def _p2_decode(fst, fct, pack):
@@ -471,8 +475,8 @@ def _phase2_init(cols, pblk, b0, pack):
     zero = jnp.zeros((cols, pblk), jnp.int32)
     z = jnp.zeros((pblk,), jnp.int32)
     if pack is None:
-        return zero, zero, zero, zero, zero, z, z, z, z, z, b0
-    return zero, zero, zero, zero, z, z, z, z, b0
+        return zero, zero, zero, zero, zero, zero, z, z, z, z, z, b0
+    return zero, zero, zero, zero, zero, z, z, z, z, b0
 
 
 def _phase2_packed_kernel(

@@ -115,7 +115,13 @@ def _run_bounds(h):
     return seg_l, seg_r
 
 
-_POS_BITS = 12  # packed (rid << 12 | pos) for the uniform-length fast path
+def _pos_bits(pack_den: int) -> int:
+    """Bits for the position field of the uniform-length packed operand
+    (rid << pb | pos): positions run 0..pack_den, so pb adapts to the
+    read length and the id field gets the rest of the 31 usable bits —
+    at 100 bp reads ids up to 2^24 fit (the old fixed 12-bit field
+    capped the fast path at 2^18 reads)."""
+    return max(int(pack_den).bit_length(), 1)
 
 
 def _expand_class(occ_sorted, geom, which: str, cap: int, pack_den: int = 0):
@@ -134,7 +140,10 @@ def _expand_class(occ_sorted, geom, which: str, cap: int, pack_den: int = 0):
     h = occ_sorted["hash"]
     rid = occ_sorted["read_id"]
     loc = occ_sorted["loc"]
-    valid = occ_sorted["valid"] & (h != _I32_MAX)
+    # the carried valid flags are authoritative: a LEGITIMATE k=16
+    # hash can equal the _I32_MAX sort sentinel (e.g. "CTTT...T"),
+    # and masks already zero every invalid row's contribution
+    valid = occ_sorted["valid"]
     n = h.shape[0]
 
     is_mid = valid & (geom["mid_lead"] <= loc) & (loc <= geom["mid_tail"])
@@ -146,8 +155,9 @@ def _expand_class(occ_sorted, geom, which: str, cap: int, pack_den: int = 0):
     if pack_den:
         # exact position recovery: loc = round_f32(pos / D), and
         # round(loc * D) == pos for D < 2^23
+        pb = _pos_bits(pack_den)
         posn = jnp.round(loc * jnp.float32(pack_den)).astype(jnp.int32)
-        packed = (rid << _POS_BITS) | jnp.clip(posn, 0, (1 << _POS_BITS) - 1)
+        packed = (rid << pb) | jnp.clip(posn, 0, (1 << pb) - 1)
 
     # middle-class rank -> table row
     mid_rows, mid_prefix, mid_total = _compact_indices(is_mid)
@@ -195,10 +205,10 @@ def _expand_class(occ_sorted, geom, which: str, cap: int, pack_den: int = 0):
         if pack_den:
             a_pk = packed[ei]
             b_pk = mid_pk[mrank]
-            a_id = a_pk >> _POS_BITS
-            b_id = b_pk >> _POS_BITS
-            a_first = (a_pk & ((1 << _POS_BITS) - 1)) > (
-                b_pk & ((1 << _POS_BITS) - 1)
+            a_id = a_pk >> pb
+            b_id = b_pk >> pb
+            a_first = (a_pk & ((1 << pb) - 1)) > (
+                b_pk & ((1 << pb) - 1)
             )
         else:
             a_id, a_loc = rid[ei], loc[ei]
@@ -320,7 +330,10 @@ def plan_totals_device(occ_sorted, head_edge, tail_edge, mid_lead, mid_tail):
     """
     h = occ_sorted["hash"]
     loc = occ_sorted["loc"]
-    valid = occ_sorted["valid"] & (h != _I32_MAX)
+    # the carried valid flags are authoritative: a LEGITIMATE k=16
+    # hash can equal the _I32_MAX sort sentinel (e.g. "CTTT...T"),
+    # and masks already zero every invalid row's contribution
+    valid = occ_sorted["valid"]
     is_head = valid & (loc <= head_edge)
     is_mid = valid & (mid_lead <= loc) & (loc <= mid_tail)
     is_tail = valid & (loc >= tail_edge)
@@ -395,7 +408,7 @@ def _expand_prep_jit(
     h = occ_s["hash"]
     rid = occ_s["read_id"]
     loc = occ_s["loc"]
-    valid = occ_s["valid"] & (h != _I32_MAX)
+    valid = occ_s["valid"]  # authoritative (see _expand_class note)
     n = h.shape[0]
 
     is_mid = valid & (geom["mid_lead"] <= loc) & (loc <= geom["mid_tail"])
@@ -405,8 +418,9 @@ def _expand_prep_jit(
         edge_mask = valid & (loc >= geom["tail_edge"])
 
     if pack_den:
+        pb = _pos_bits(pack_den)
         posn = jnp.round(loc * jnp.float32(pack_den)).astype(jnp.int32)
-        packed = (rid << _POS_BITS) | jnp.clip(posn, 0, (1 << _POS_BITS) - 1)
+        packed = (rid << pb) | jnp.clip(posn, 0, (1 << pb) - 1)
 
     mid_rows, mid_prefix, mid_total = _compact_indices(is_mid)
     mid_pref_full = jnp.concatenate([mid_prefix, mid_total[None]])
@@ -496,10 +510,11 @@ def _expand_chunk_jit(
         a_pk = g[:, 0]
         mrank = jnp.clip(g[:, 1] + t, 0, max(mid_pk.shape[0] - 1, 0))
         b_pk = mid_pk[mrank]
-        a_id = a_pk >> _POS_BITS
-        b_id = b_pk >> _POS_BITS
-        a_first = (a_pk & ((1 << _POS_BITS) - 1)) > (
-            b_pk & ((1 << _POS_BITS) - 1)
+        pb = _pos_bits(pack_den)
+        a_id = a_pk >> pb
+        b_id = b_pk >> pb
+        a_first = (a_pk & ((1 << pb) - 1)) > (
+            b_pk & ((1 << pb) - 1)
         )
     else:
         m_rid = prep["m_rid"]
@@ -520,7 +535,7 @@ def _expand_chunk_jit(
         if emit_diag:
             # collision diagonal pos_fst - pos_snd (packed fast path
             # only): feeds the optional diagonal-coherence prescreen
-            pm = (1 << _POS_BITS) - 1
+            pm = (1 << pb) - 1
             pa, pb = a_pk & pm, b_pk & pm
             diag = jnp.where(a_first, pa - pb, pb - pa)
             return key, jnp.where(ok, diag, 0)

@@ -611,3 +611,27 @@ def test_prescreen_golden_and_random(crp_seqs):
     a = Overlapper(s, prescreen=True).run(seqs)
     b = Overlapper(s, prescreen=False).run(seqs)
     assert a == b and a
+
+
+def test_k16_end_to_end_matches_oracle():
+    """k=16 (BASELINE config-1's k): full-width 32-bit hashes — including
+    values that collide with the int32 sort sentinel — must aggregate
+    correctly end-to-end (engine == oracle)."""
+    from sequence_aligner_tpu.oracle.overlap import oracle_overlaps
+
+    rng = np.random.RandomState(23)
+    bases = "ACTG"
+    genome = "".join(bases[i] for i in rng.randint(0, 4, 2500))
+    # plant the sentinel-colliding 16-mer "C" + "T"*15 (hash 0x7FFFFFFF)
+    genome = genome[:600] + "C" + "T" * 15 + genome[616:]
+    seqs = []
+    for i in range(60):
+        start = 40 * i
+        seqs.append(Sequence(i + 1, genome[start : start + 100]))
+    s = AlignSettings.amos_parity(kmer_size=16)
+    got = Overlapper(s).run(seqs)
+    want = oracle_overlaps(seqs, s)
+    assert [(r.id_a, r.id_b, r.ahg, r.bhg) for r in got] == [
+        (r.id_a, r.id_b, r.ahg, r.bhg) for r in want
+    ]
+    assert got, "k=16 dataset produced no overlaps"
