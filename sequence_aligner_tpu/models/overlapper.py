@@ -515,6 +515,9 @@ class Overlapper:
                 min_collisions=jnp.int32(s.min_collisions),
                 max_collisions=jnp.int32(s.max_collisions),
                 cap_head=cap_head, cap_tail=cap_tail, cap_out=cap_out,
+                # per-pair counts are diagnostics (selectivity probe):
+                # production alignment never reads them
+                with_counts=getattr(self, "want_counts", False),
                 presorted=True, packed_ids=packed, pack_den=pack_den,
                 # retries run the split pieces so only the small finish
                 # program recompiles at the doubled cap_out (the fused

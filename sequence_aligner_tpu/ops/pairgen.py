@@ -701,13 +701,18 @@ def _finish_core(
     else:
         n_out = jnp.sum(keep.astype(jnp.int32))
     kmask = jnp.where(keep, key_s, _I32_MAX)
-    key_c, cnt_c = jax.lax.sort(
-        (kmask, jnp.where(keep, cnt, 0)), num_keys=1, is_stable=False
-    )
+    if with_counts:
+        key_c, cnt_c = jax.lax.sort(
+            (kmask, jnp.where(keep, cnt, 0)), num_keys=1, is_stable=False
+        )
+    else:  # production: counts are diagnostics — 1-operand sort suffices
+        key_c = jax.lax.sort((kmask,), num_keys=1, is_stable=False)[0]
+        cnt_c = None
     if cap_out > key_c.shape[0]:  # degenerate: cap_out beyond the stream
         pad = cap_out - key_c.shape[0]
         key_c = jnp.concatenate([key_c, jnp.full((pad,), _I32_MAX)])
-        cnt_c = jnp.concatenate([cnt_c, jnp.zeros((pad,), jnp.int32)])
+        if with_counts:
+            cnt_c = jnp.concatenate([cnt_c, jnp.zeros((pad,), jnp.int32)])
     slot_ok = key_c[:cap_out] != _I32_MAX
     keyc = jnp.where(slot_ok, key_c[:cap_out] ^ _SIGN, 0)
     lead = jnp.where(slot_ok, (keyc >> 16) & 0xFFFF, 0)

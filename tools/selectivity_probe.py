@@ -25,6 +25,7 @@ def main():
     seqs = c_ruddii_reads(n_reads=n_reads, read_len=100)
     s = AlignSettings.amos_parity()
     ov = Overlapper(s)
+    ov.want_counts = True  # production skips count materialization
     bases, lengths = encode_reads(seqs)
     n_tier = 1 << max((n_reads - 1).bit_length(), 8)
     bases = np.pad(bases, ((0, n_tier - n_reads), (0, 0)))
