@@ -165,7 +165,31 @@ def _sub_row(a_code, b_codes, cm_tuple, pblk):
     )
 
 
-def _phase1_row(carry, i, a_code, *, b_codes, alen, karr, la_max, w, gO, gE, cm_tuple):
+def _sub_planes(b_codes, cm_tuple):
+    """Hoisted form for a FIXED b window (phase 1): the four per-a-code
+    score planes cm[a, b_codes] are built once before the row loop; each
+    row then pays 3 band selects instead of _sub_row's 6 band + ~15 [P]
+    ops.  (Phase 2's window slides per row, so it keeps _sub_row.)"""
+    def plane(a):
+        c = [jnp.int32(cm_tuple[4 * a + b]) for b in range(4)]
+        return jnp.where(
+            b_codes == 0, c[0],
+            jnp.where(b_codes == 1, c[1],
+                      jnp.where(b_codes == 2, c[2], c[3])),
+        )
+
+    return tuple(plane(a) for a in range(4))
+
+
+def _sub_from_planes(a_code, planes):
+    a = a_code[None, :]
+    return jnp.where(
+        a == 0, planes[0],
+        jnp.where(a == 1, planes[1], jnp.where(a == 2, planes[2], planes[3])),
+    )
+
+
+def _phase1_row(carry, i, a_code, *, planes, alen, karr, la_max, w, gO, gE, cm_tuple):
     """One DP row of the phase-1 banded SW with in-fill stop propagation.
 
     Pure function of the carried band state — the Pallas kernel runs it
@@ -175,7 +199,7 @@ def _phase1_row(carry, i, a_code, *, b_codes, alen, karr, la_max, w, gO, gE, cm_
     mp, xp, yp, sp, cont, best, bi, bj, fst = carry
     pblk = a_code.shape[0]
     cols = w + 1
-    sub = _sub_row(a_code, b_codes, cm_tuple, pblk)
+    sub = _sub_from_planes(a_code, planes)
     zrow1 = jnp.zeros((1, pblk), jnp.int32)
     m_new = jnp.concatenate(
         [zrow1, sub + _max3(mp[:-1], yp[:-1], jnp.maximum(xp[:-1], 0))],
@@ -303,10 +327,11 @@ def _phase1_packed_kernel(
     )
     alen = alen_ref[0, :]
     karr = jax.lax.broadcasted_iota(jnp.int32, (cols, pblk), 0)
+    planes = _sub_planes(b_codes, cm_tuple)  # hoisted out of the row loop
 
     def body(i, carry):
         return _phase1_row(
-            carry, i, _unpack_dyn(aw_ref, i - 1), b_codes=b_codes,
+            carry, i, _unpack_dyn(aw_ref, i - 1), planes=planes,
             alen=alen, karr=karr, la_max=la_max, w=w, gO=gO, gE=gE,
             cm_tuple=cm_tuple,
         )
@@ -327,11 +352,12 @@ def _phase1_fused_scan(a_t, b_t, a_len, *, la_max, w, gO, gE, cm_tuple):
     cols = w + 1
     b_codes = b_t[0:w, :]
     karr = jax.lax.broadcasted_iota(jnp.int32, (cols, p), 0)
+    planes = _sub_planes(b_codes, cm_tuple)
 
     def step(carry, xs):
         i, a_code = xs
         return _phase1_row(
-            carry, i, a_code, b_codes=b_codes, alen=a_len, karr=karr,
+            carry, i, a_code, planes=planes, alen=a_len, karr=karr,
             la_max=la_max, w=w, gO=gO, gE=gE, cm_tuple=cm_tuple,
         ), None
 
