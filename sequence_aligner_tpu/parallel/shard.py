@@ -203,6 +203,76 @@ def _fetch_read_rows(
     return out_rows, out_lens, dropped
 
 
+def make_sharded_plan_step(
+    mesh: Mesh,
+    s: AlignSettings,
+    *,
+    cap_route: int,
+    axis: str = "shard",
+):
+    """Cheap per-device capacity plan: k-mer extraction + hash routing
+    (identical to the pairs step's first stages) followed by the raw
+    edge x middle cross-product totals per device, in float32 (exact to
+    2^24, plenty for cap sizing — the drop-retry remains the hard net).
+
+    Returns fn(bases, lengths, ids) -> [n_dev, 2] float32 of per-device
+    (head_total, tail_total).  The driver tiers cap_head/cap_tail/cap_out
+    from these instead of static worst-case guesses — at the 8000-read
+    TPU run the static caps were 3.4x the real stream and the pairs step
+    paid for every padded slot."""
+    n_dev = mesh.shape[axis]
+    geom = dict(
+        head_edge=jnp.float32(s.kmer_head_edge),
+        tail_edge=jnp.float32(s.kmer_tail_edge),
+        mid_lead=jnp.float32(s.kmer_mid_lead_edge),
+        mid_tail=jnp.float32(s.kmer_mid_tail_edge),
+    )
+
+    def step(bases, lengths, ids):
+        from sequence_aligner_tpu.ops.pairgen import (
+            _compact_indices as ci, _run_bounds,
+        )
+
+        occ = kmer_scan(bases, lengths, ids, s.kmer_size)
+        tgt = (occ["hash"].astype(jnp.uint32) % jnp.uint32(n_dev)).astype(jnp.int32)
+        bins, _ = _route(
+            dict(hash=occ["hash"], loc=occ["loc"]),
+            tgt, occ["valid"], n_dev, cap_route,
+        )
+        recv = _exchange(bins, axis)
+        h = recv["hash"].reshape(-1)
+        loc = recv["loc"].reshape(-1)
+        valid = recv["_sent"].reshape(-1)
+        key = jnp.where(valid, h, _I32_MAX)
+        key, perm = jax.lax.sort(
+            (key, jnp.arange(key.shape[0], dtype=jnp.int32)),
+            num_keys=1, is_stable=False,
+        )
+        loc = loc[perm]
+        valid = valid[perm]
+        is_head = valid & (loc <= geom["head_edge"])
+        is_tail = valid & (loc >= geom["tail_edge"])
+        is_mid = valid & (geom["mid_lead"] <= loc) & (loc <= geom["mid_tail"])
+        _, mid_prefix, mid_total = ci(is_mid, cap=1)
+        mid_pref_full = jnp.concatenate([mid_prefix, mid_total[None]])
+        seg_l, seg_r = _run_bounds(key)
+        mid_cnt = (mid_pref_full[seg_r] - mid_pref_full[seg_l]).astype(
+            jnp.float32
+        )
+        h_tot = jnp.sum(jnp.where(is_head, mid_cnt, 0.0))
+        t_tot = jnp.sum(jnp.where(is_tail, mid_cnt, 0.0))
+        return jnp.stack([h_tot, t_tot])[None, :]
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis),) * 3,
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_pairs_step(
     mesh: Mesh,
     s: AlignSettings,
@@ -214,6 +284,7 @@ def make_sharded_pairs_step(
     cap_pair_route: int,
     cap_out: int,
     packed: bool,
+    pack_den: int = 0,
     axis: str = "shard",
     stop_after: str | None = None,
 ):
@@ -268,8 +339,10 @@ def make_sharded_pairs_step(
             return _sink(occ2["hash"], occ2["read_id"], occ2["valid"])
 
         # ---- 3. raw pair expansion on complete hash groups ----
+        # pack_den > 0: uniform-read-length packed-position expansion
+        # (3 gathers/slot instead of 6 — ops.pairgen._expand_class)
         fst, snd, ok, h_tot, t_tot = expand_raw_pairs(
-            sort_occurrences(occ2), geom, cap_head, cap_tail
+            sort_occurrences(occ2), geom, cap_head, cap_tail, pack_den
         )
         pair_overflow = ((h_tot > cap_head) | (t_tot > cap_tail)).astype(jnp.int32)
 
@@ -555,6 +628,17 @@ def sharded_overlap(
     n_kmers = int(np.sum(np.maximum(lengths - s.kmer_size + 1, 0)))
     widths = tuple(sorted({s.band_width(int(x)) for x in lengths[:n]}))
     packed = (n + pad) < (1 << 16)  # ids fit 16 bits -> packed pair keys
+    # uniform-length packed-position expansion (same eligibility rule as
+    # the single-device engine: rid and position must share 31 bits)
+    real = lengths[:n]
+    den = int(real[0]) - s.kmer_size if n else 0
+    pack_den = (
+        den
+        if n and 0 < den
+        and (n + pad).bit_length() + den.bit_length() <= 31
+        and bool((real == real[0]).all())
+        else 0
+    )
 
     caps = dict(caps or {})
     # per-DESTINATION bin: each device holds ~n_kmers/n_dev occurrences
@@ -563,11 +647,7 @@ def sharded_overlap(
     caps.setdefault(
         "cap_route", max(1024, 2 * n_kmers // max(n_dev * n_dev, 1))
     )
-    caps.setdefault("cap_head", 1 << 20)
-    caps.setdefault("cap_tail", 1 << 20)
-    caps.setdefault("cap_agg", 1 << 18)
-    caps.setdefault("cap_pair_route", max(4096, caps["cap_agg"] // max(n_dev // 2, 1)))
-    caps.setdefault("cap_out", 1 << 16)
+    need_plan = not {"cap_head", "cap_tail", "cap_out"} <= caps.keys()
 
     multiproc = jax.process_count() > 1
     if multiproc:
@@ -590,19 +670,48 @@ def sharded_overlap(
         to_dev = jnp.asarray
         to_host = np.asarray
 
-    bases_d, lengths_d = to_dev(bases), to_dev(lengths)
+    bases_d, lengths_d, ids_d = to_dev(bases), to_dev(lengths), to_dev(ids)
+
+    if need_plan:
+        # size the stream capacities from MEASURED per-device cross-product
+        # totals (one cheap program) instead of static worst-case guesses —
+        # padded stream slots cost real sort/scan time; the drop-retry
+        # below remains the hard correctness net
+        plan_step = make_sharded_plan_step(
+            mesh, s, cap_route=caps["cap_route"]
+        )
+        tot = to_host(plan_step(bases_d, lengths_d, ids_d)).reshape(-1, 2)
+        h_max = float(tot[:, 0].max()) if tot.size else 0.0
+        t_max = float(tot[:, 1].max()) if tot.size else 0.0
+        caps.setdefault("cap_head", _tier(int(1.25 * h_max) + 1024))
+        caps.setdefault("cap_tail", _tier(int(1.25 * t_max) + 1024))
+        raw_dev = caps["cap_head"] + caps["cap_tail"]
+        # local distinct pairs <= raw events; owner-side kept pairs carry
+        # >= min_collisions events each
+        caps.setdefault("cap_agg", _tier(raw_dev // 2))
+        caps.setdefault(
+            "cap_out",
+            _tier(max(raw_dev // max(s.min_collisions, 1), 1024)),
+        )
+    caps.setdefault("cap_head", 1 << 20)
+    caps.setdefault("cap_tail", 1 << 20)
+    caps.setdefault("cap_agg", 1 << 18)
+    caps.setdefault(
+        "cap_pair_route", max(4096, 2 * caps["cap_agg"] // max(n_dev, 1))
+    )
+    caps.setdefault("cap_out", 1 << 16)
 
     # ---- pairs program (+ its capacity retries) ----
     while True:
         pairs_step = make_sharded_pairs_step(
-            mesh, s, packed=packed,
+            mesh, s, packed=packed, pack_den=pack_den,
             **{k: caps[k] for k in (
                 "cap_route", "cap_head", "cap_tail", "cap_agg",
                 "cap_pair_route", "cap_out",
             )},
         )
         lead_d, trail_d, n_out_d, drops = pairs_step(
-            bases_d, lengths_d, to_dev(ids)
+            bases_d, lengths_d, ids_d
         )
         drops = to_host(drops).sum(axis=0)
         if drops.sum() == 0:

@@ -109,3 +109,19 @@ def test_default_profile_three_engines(crp_seqs):
     assert key(shd) == key(want)
     orc = oracle_overlaps(crp_seqs, s)
     assert key(sorted(orc, key=lambda r: (r.id_a, r.id_b))) == key(want)
+
+
+def test_sharded_planned_caps(crp_seqs):
+    """No explicit capacities: the driver's plan program sizes the stream
+    caps from measured per-device totals and the run must converge with
+    zero retries needed (drops only as the net)."""
+    from sequence_aligner_tpu.models.overlapper import Overlapper
+
+    s = AlignSettings.amos_parity()
+    mesh = make_mesh(8)
+    recs = sharded_overlap(crp_seqs[:80], s, mesh)  # caps=None -> plan
+    want = Overlapper(s).run(crp_seqs[:80])
+    assert [(r.id_a, r.id_b, r.ahg, r.bhg) for r in recs] == [
+        (r.id_a, r.id_b, r.ahg, r.bhg) for r in want
+    ]
+    assert recs

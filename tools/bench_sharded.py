@@ -60,6 +60,7 @@ def main():
     from sequence_aligner_tpu.ops.encode import encode_reads
     from sequence_aligner_tpu.parallel.shard import (
         _tier, make_sharded_align_step, make_sharded_pairs_step,
+        make_sharded_plan_step,
     )
     from sequence_aligner_tpu.pipeline.datasets import (
         c_ruddii_reads, simulated_reads,
@@ -89,23 +90,31 @@ def main():
             c *= 2
         return c
 
-    # per-device stream capacity ~ measured c_ruddii raw-event density
-    # (~2.6k edge x middle events per read at 100 bp / k=12) with 2x slack
-    caps = dict(
-        cap_route=max(1024, 2 * n_kmers // n_dev),
-        cap_head=pow2(5200 * n // n_dev),
-        cap_tail=pow2(5200 * n // n_dev),
-        cap_agg=pow2(1600 * n // n_dev),
-        cap_pair_route=pow2(400 * n // n_dev),
-        cap_out=pow2(800 * n // n_dev),
-    )
+    caps = dict(cap_route=max(1024, 2 * n_kmers // n_dev))
     packed = (n + pad) < (1 << 16)
+    den = READ_LEN - s.kmer_size
+    pack_den = (
+        den if 0 < den and (n + pad).bit_length() + den.bit_length() <= 31
+        and bool((lengths[:n] == READ_LEN).all()) else 0
+    )
     log(f"{n} reads x {READ_LEN} bp on {n_dev}-device mesh, "
-        f"packed={packed}, caps={caps}")
+        f"packed={packed}, pack_den={pack_den}, caps={caps}")
 
     bases_d, lengths_d, ids_d = (
         jnp.asarray(x) for x in (bases, lengths, ids)
     )
+
+    # capacity plan from measured per-device totals (as the driver does)
+    plan_step = make_sharded_plan_step(mesh, s, cap_route=caps["cap_route"])
+    tot = np.asarray(plan_step(bases_d, lengths_d, ids_d)).reshape(-1, 2)
+    caps["cap_head"] = _tier(int(1.25 * tot[:, 0].max()) + 1024)
+    caps["cap_tail"] = _tier(int(1.25 * tot[:, 1].max()) + 1024)
+    raw_dev = caps["cap_head"] + caps["cap_tail"]
+    caps["cap_agg"] = _tier(raw_dev // 2)
+    caps["cap_pair_route"] = max(4096, 2 * caps["cap_agg"] // n_dev)
+    caps["cap_out"] = _tier(max(raw_dev // max(s.min_collisions, 1), 1024))
+    log(f"planned caps: {caps} (per-device totals max "
+        f"h={tot[:, 0].max():.0f} t={tot[:, 1].max():.0f})")
 
     def sync(out):
         if isinstance(out, tuple):
@@ -126,7 +135,7 @@ def main():
         return t, out
 
     # ---- pairs program: cumulative truncations -> deltas ----
-    pk = dict(packed=packed, **caps)
+    pk = dict(packed=packed, pack_den=pack_den, **caps)
     t_kmer, _ = timed(
         "pairs[kmer]",
         lambda: make_sharded_pairs_step(mesh, s, stop_after="kmer", **pk),
