@@ -697,7 +697,9 @@ def sharded_overlap(
     caps.setdefault("cap_tail", 1 << 20)
     caps.setdefault("cap_agg", 1 << 18)
     caps.setdefault(
-        "cap_pair_route", max(4096, 2 * caps["cap_agg"] // max(n_dev, 1))
+        "cap_pair_route",
+        min(caps["cap_agg"],
+            _tier(max(4096, 2 * caps["cap_agg"] // max(n_dev, 1)))),
     )
     caps.setdefault("cap_out", 1 << 16)
 

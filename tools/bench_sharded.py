@@ -111,7 +111,9 @@ def main():
     caps["cap_tail"] = _tier(int(1.25 * tot[:, 1].max()) + 1024)
     raw_dev = caps["cap_head"] + caps["cap_tail"]
     caps["cap_agg"] = _tier(raw_dev // 2)
-    caps["cap_pair_route"] = max(4096, 2 * caps["cap_agg"] // n_dev)
+    caps["cap_pair_route"] = min(
+        caps["cap_agg"], _tier(max(4096, 2 * caps["cap_agg"] // n_dev))
+    )
     caps["cap_out"] = _tier(max(raw_dev // max(s.min_collisions, 1), 1024))
     log(f"planned caps: {caps} (per-device totals max "
         f"h={tot[:, 0].max():.0f} t={tot[:, 1].max():.0f})")
