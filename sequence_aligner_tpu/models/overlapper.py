@@ -288,29 +288,31 @@ def _phase1_chunk(
 
 
 @jax.jit
-def _tier_counts(dlen_all, bounds):
-    """[T] live-pair counts for (lo, hi] dove-length ranges (bounds
-    [T, 2]) — ONE fetch sizes every phase-2 launch."""
+def _tier_order(dlen_all, bounds):
+    """ONE unstable sort by dove length groups every phase-2 tier into a
+    CONTIGUOUS slice of the position order (replacing one cumsum+scatter
+    compaction pass per tier over the full pair table).
+
+    bounds [T, 2] of (lo, hi] ranges.  Returns (pos_sorted [cap] int32 —
+    positions ordered by ascending dove length, duds/skips last via a
+    sentinel key —, counts [T], offsets [T] start of each tier's slice).
+    """
+    cap = dlen_all.shape[0]
+    skip_lo = bounds[0, 0]
+    key = jnp.where(
+        (dlen_all > skip_lo), dlen_all, jnp.int32(2**30)
+    )
+    _, pos_s = jax.lax.sort(
+        (key, jnp.arange(cap, dtype=jnp.int32)), num_keys=1,
+        is_stable=False,
+    )
     d = dlen_all[None, :]
-    return jnp.sum(
+    counts = jnp.sum(
         ((d > bounds[:, 0:1]) & (d <= bounds[:, 1:2])).astype(jnp.int32),
         axis=1,
     )
-
-
-@jax.jit
-def _tier_indices(dlen_all, tier_lo, tier_hi):
-    """Bucket positions (into the width bucket's pair order) whose dove
-    length falls in (tier_lo, tier_hi] (duds carry -1 and never match:
-    tier_lo >= -1 always).  Returns (idx [cap], count)."""
-    cap = dlen_all.shape[0]
-    mask = (dlen_all > tier_lo) & (dlen_all <= tier_hi)
-    incl = jnp.cumsum(mask.astype(jnp.int32))
-    slot = jnp.where(mask, incl - 1, cap)
-    idx = jnp.zeros((cap + 1,), jnp.int32).at[slot].set(
-        jnp.arange(cap, dtype=jnp.int32)
-    )
-    return idx[:cap], incl[cap - 1]
+    offsets = jnp.cumsum(counts) - counts
+    return pos_s, counts, offsets
 
 
 @partial(
@@ -670,23 +672,29 @@ class Overlapper:
             self.stats.dp_cells += cnt_h * (la_max + 1) * (w + 1)
             # ---- pass B: phase 2 per dove-length tier (each tier's
             # kernel loops only its max dove length in rows; dove lengths
-            # below the first tier are provably invalid and skipped) ----
+            # below the first tier are provably invalid and skipped).
+            # ONE dlen sort makes every tier a contiguous slice of the
+            # position order — no per-tier compaction passes ----
             tiers = _dove_tiers(la_max, w, s.min_overlap, s.min_identity)
-            tcnt_all = _tier_counts(
+            pos_s, tcnt_all, toff_all = _tier_order(
                 dlen_all, jnp.asarray(np.asarray(tiers, np.int32))
             )
             tcnt_hs = [int(x) for x in np.asarray(tcnt_all)]  # one fetch
-            for (tlo, thi), tcnt_h in zip(tiers, tcnt_hs):
+            toff_hs = list(np.cumsum([0] + tcnt_hs[:-1]))
+            # pad so the last tier's chunk grid can never overrun (slots
+            # past a tier's end are masked invalid by the chunk's count)
+            pos_s = jnp.concatenate([
+                pos_s,
+                jnp.zeros((_pow2_at_least(self.batch_size, 128),), jnp.int32),
+            ])
+            for (tlo, thi), tcnt_h, toff in zip(tiers, tcnt_hs, toff_hs):
                 if tcnt_h == 0:
                     continue
-                tidx, tcnt = _tier_indices(
-                    dlen_all, jnp.int32(tlo), jnp.int32(thi)
-                )
                 self.stats.n_phase2_pairs += tcnt_h
                 self.stats.dp_cells += tcnt_h * (thi + 1) * (w + 1)
                 bs2, pblk2 = _bs_pblk(tcnt_h)
-                tidx = _pad_idx(tidx, tcnt_h, bs2)
                 vcap = bs2 if bs2 <= (1 << 16) else bs2 // 8
+                tend = jnp.int32(toff + tcnt_h)
                 p2kw = dict(
                     width=w, rows=thi, cm_tuple=cm_tuple, gO=s.gap_open,
                     gE=s.gap_extend,
@@ -696,8 +704,8 @@ class Overlapper:
                 )
                 for lo in range(0, tcnt_h, bs2):
                     def run2(
-                        v, _i=idx, _d=dlen_all, _t=tidx, _lo=lo, _c=tcnt,
-                        _b=bs2, _kw=p2kw,
+                        v, _i=idx, _d=dlen_all, _t=pos_s,
+                        _lo=int(toff) + lo, _c=tend, _b=bs2, _kw=p2kw,
                     ):
                         return _phase2_chunk_compact(
                             bases_d, lengths_d, packed_d, lead_dev,
