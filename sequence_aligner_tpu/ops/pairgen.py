@@ -19,9 +19,9 @@ static capacities and masking:
   5. ordered pairs are aggregated by ONE unstable single-operand sort of
      packed (fst<<16)|snd keys (sign-flipped so int32 order == unsigned
      order) when read ids fit 16 bits — the reference's own id ceiling
-     (it packs pairs as (id<<16)^id, src/KmerTable.scala:73) — else by a
-     two-pass stable 1-key radix sort; run-length counting keeps runs
-     inside [min_collisions, max_collisions].
+     (it packs pairs as (id<<16)^id, src/KmerTable.scala:73) — else by
+     ONE unstable 2-key lexicographic sort; run-length counting keeps
+     runs inside [min_collisions, max_collisions].
 
 Performance design (measured on v5e through the axon tunnel,
 tools/compile_probe.py + tools/pairgen_timing.py):
