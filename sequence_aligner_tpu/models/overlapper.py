@@ -7,9 +7,12 @@ stages:
 
   encode (host)  ->  kmer_scan (jit)  ->  hash sort + device capacity
   plan (jit, two scalar fetches)  ->  candidate_pairs_stream (jit, exact
-  capacities, no retries)  ->  device width-bucketing  ->  fused Pallas
-  dovetail chunks (jit)  ->  device valid-compaction  ->  ONE host fetch
-  of the valid records  ->  canonical sort + OVL.
+  capacities, no retries)  ->  device width-bucketing  ->  SPLIT-PHASE
+  align: phase-1 Pallas chunks (anchoring; ~54% of candidates dud and
+  stop here)  ->  one dove-length sort (tiers become contiguous slices)
+  ->  phase-2 Pallas chunks per tier, looping only the tier's rows  ->
+  device valid-compaction  ->  tier-sliced host fetches  ->  canonical
+  sort + array-native OVL emission.
 
 Everything between the encoded reads going up and the valid overlap
 records coming down stays on device: the candidate-pair table, the

@@ -28,10 +28,12 @@ M and Y branches read the previous row's aux (vector ops); the X branch
 reads the *current* row at k-1 — an in-row chain resolved by a short
 unrolled ascending-k loop (band width is static and small).  The kernels
 are VPU-issue-bound (band width 13 -> every logical op is a handful of
-8x128 vregs), so the aux state is bit-packed into TWO int32 arrays —
-coords (stop_u << 16 | stop_k) and counts (correct << 16 | error)
-— and contributions are added without unpacking (fields never carry:
-counts are bounded by the path length <= la + w + 2 < 2^16).
+8x128 vregs), so the aux state is bit-packed: phase 1 carries coords
+(stop_i << 16 | stop_j); phase 2 carries coords AND counts in ONE int32
+when the four fields fit 31 bits (_p2_pack — the common short-read
+case), falling back to two arrays for long-read shapes.  Contributions
+are added without unpacking (fields never carry: counts are bounded by
+the path length <= la + w + 2).
 
 The running best cell's aux is captured on every strict improvement, so
 the kernel emits per-pair scalars only: no dirs array, no traceback
