@@ -651,12 +651,9 @@ class Overlapper:
             bs, pblk = _bs_pblk(cnt_h)
             idx = _pad_idx(idx, cnt_h, bs)
             if kernel == "quad":
-                # per-chunk valid capacity: ~3% of pairs validate at scale
-                # and 1/8 leaves a wide margin; small inputs can have
-                # majority-valid chunks (crp177: 67%), so below 64k pairs
-                # the buffer holds everything.  Overfull chunks re-run the
-                # compact program at a grown vcap tier.
-                vcap = bs if bs <= (1 << 16) else bs // 8
+                # full-capacity valid buffer (see the fused arm note:
+                # fetches are count-sliced, so overflow retries are gone)
+                vcap = bs
                 for lo in range(0, cnt_h, bs):
                     def runq(v, _i=idx, _lo=lo, _c=cnt, _b=bs, _w=w, _p=pblk):
                         return _align_chunk_compact(
@@ -713,7 +710,12 @@ class Overlapper:
                 self.stats.n_phase2_pairs += tcnt_h
                 self.stats.dp_cells += tcnt_h * (thi + 1) * (w + 1)
                 bs2, pblk2 = _bs_pblk(tcnt_h)
-                vcap = bs2 if bs2 <= (1 << 16) else bs2 // 8
+                # full-capacity valid buffer: the host fetch is
+                # tier-sliced by the ACTUAL count (pow2 tiers), so a big
+                # vcap costs only device memory — and no chunk can ever
+                # overflow into a retry re-run (majority-valid datasets,
+                # e.g. clean high-coverage sims, used to pay 2x align)
+                vcap = bs2
                 tend = jnp.int32(toff + tcnt_h)
                 p2kw = dict(
                     width=w, rows=thi, cm_tuple=cm_tuple, gO=s.gap_open,
