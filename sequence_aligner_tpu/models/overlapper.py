@@ -276,7 +276,7 @@ def _phase1_chunk(
     if not _interpret():
         p1 = phase1_fused_packed(
             packed[a_idx].T, packed[b_idx].T, a_len,
-            pblk=pblk, interpret=kernel_interpret(), **kw,
+            pblk=pblk, interpret=kernel_interpret(), ulen=ulen, **kw,
         )
     else:
         p1 = _phase1_fused_scan(
@@ -369,7 +369,7 @@ def _phase2_chunk_compact(
     if not _interpret():
         p2 = phase2_fused_packed(
             packed[a_idx].T, packed[b_idx].T, ds, dlen, b_len,
-            pblk=pblk, interpret=kernel_interpret(), **kw,
+            pblk=pblk, interpret=kernel_interpret(), ulen=ulen, **kw,
         )
     else:
         lb_max = bases.shape[1]

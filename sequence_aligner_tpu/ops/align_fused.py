@@ -3,17 +3,10 @@
 The round-1 kernels emitted a per-cell direction code array
 ([la+1, w+1, P] int32 per phase, ~86 MB per 16k-pair batch) and walked
 it afterwards with a step-locked XLA scan — ~228 *sequential* HBM
-gathers per batch, which dominated end-to-end time (~320 ms per 16k
-pairs, >70% of it traceback).
-
-These kernels eliminate the traceback entirely.  Observation: cells are
-finalized in scan order, and the reference's backtrack
-(src/BioLibs.scala:550-589) is a *cell-level* greedy walk — at each cell
-it compares the three final DP matrices M/X/Y with M -> X -> Y
-preference and moves accordingly, stopping when the landed-on cell's max
-is <= 0.  So each cell's full backtrack outcome is a function of its
-predecessor cell's (already final) outcome, and can be propagated as
-auxiliary per-cell state DURING the fill:
+gathers per batch, which dominated end-to-end time.  These kernels
+eliminate the traceback entirely: each cell's full backtrack outcome is
+a function of its predecessor cell's (already final) outcome, and is
+propagated as auxiliary per-cell state DURING the fill:
 
   aux(q) = (stop coords, correct, error)
   p      = pred(q, argmax-branch(q))
@@ -24,27 +17,46 @@ error for X/Y gap branches; cont(p) = max(M,X,Y)(p) > 0.  Path length
 needs no state of its own: every backtrack step contributes exactly one
 match or one error, so align_len == correct + error.
 
+The kernels are VPU-issue-bound (band width 13 -> every logical op is a
+handful of 8x128 vregs), so the round-5 row steps cut vector-op count
+three ways on top of the round-4 design:
+
+  * extraction: instead of 2-3 sublane REDUCTIONS per row (row max,
+    first-argmax column, masked aux capture), the running best is an
+    ELEMENTWISE packed word per band position, (value << .. | (IM - i)
+    << .. | (KM - k)), whose int32 `>` order is exactly the reference's
+    strict-> row-major running max (earlier row, then smaller column,
+    wins ties).  A per-position aux capture rides the same compare; ONE
+    band reduction at kernel end decodes (best, i, j, aux).
+  * gated chains: the in-row X recurrence out[k] = A[k] ? out[k-1]
+    : V[k] packs its gate into the VALUE's sign bit, so each
+    log-doubling step is shift+compare+select (3 ops) instead of the
+    5-op (A, V) pair composition.  Phase 2's AFFINE chain (+1 error per
+    traversed cell) becomes a constant chain via the change of variable
+    out'[k] = out[k] + (w - k): gated steps then carry out' unchanged,
+    and one add before / subtract after the chain restores the counts
+    (transient field overflow is harmless — the packed word is a plain
+    integer and fields are only decoded after the final subtract).
+  * static boundaries: with a uniform read length (ulen), phase 2's
+    in-band masks are only live for the first zero_row rows and the last
+    ~w rows; the kernel runs three fori_loops (masked head, unmasked
+    interior, masked tail) instead of paying the mask ops every row.
+    Phase 1 additionally drops its (i <= alen) extraction gate when
+    every lane spans all la_max rows.
+
+The packed extraction and the merged phase-2 aux word each need their
+fields to fit 31 bits; shapes that exceed the budget (reads ~>= 1000 bp)
+fall back to the round-4 row steps (_phase1_row_legacy /
+_phase2_row_legacy), kept verbatim.
+
 M and Y branches read the previous row's aux (vector ops); the X branch
-reads the *current* row at k-1 — an in-row chain resolved by a short
-unrolled ascending-k loop (band width is static and small).  The kernels
-are VPU-issue-bound (band width 13 -> every logical op is a handful of
-8x128 vregs), so the aux state is bit-packed: phase 1 carries coords
-(stop_i << 16 | stop_j); phase 2 carries coords AND counts in ONE int32
-when the four fields fit 31 bits (_p2_pack — the common short-read
-case), falling back to two arrays for long-read shapes.  Contributions
-are added without unpacking (fields never carry: counts are bounded by
-the path length <= la + w + 2).
-
-The running best cell's aux is captured on every strict improvement, so
-the kernel emits per-pair scalars only: no dirs array, no traceback
-pass, ~600x less HBM traffic per batch.
-
-Semantics are validated element-for-element against the NumPy oracle
-(oracle/align.py, replicating src/BioLibs.scala:373-591), including
-strict-> running max in row-major scan order and M -> X -> Y branch
-preference.  The row steps are pure functions shared by the Pallas
-kernels (TPU) and a lax.scan formulation (every other backend), so both
-paths are one source of semantics.
+reads the *current* row at k-1 — the in-row chain above.  The row steps
+are pure functions shared by the Pallas kernels (TPU) and a lax.scan
+formulation (every other backend), so both paths are one source of
+semantics.  Semantics are validated element-for-element against the
+NumPy oracle (oracle/align.py, replicating src/BioLibs.scala:373-591),
+including strict-> running max in row-major scan order and M -> X -> Y
+branch preference.
 """
 
 from __future__ import annotations
@@ -106,11 +118,10 @@ def _gated_chain(A, V):
     """Resolve the in-row recurrence out[k] = A[k] ? out[k-1] : V[k]
     along the band (sublane) axis by log-doubling composition of gated
     constant maps f_k(x) = A_k ? x : V_k  (compose: A = A_g & A_f,
-    V = A_g ? V_f : V_g).  Replaces a width-step serialized chain of
-    dependent lane ops — the kernels' dominant stall — with ceil(log2 w)
-    vector steps.  A is an int32 0/1 mask (Mosaic rejects i1 vectors);
-    row 0 must have A == 0, which grounds every composition so shifted-in
-    padding never reaches a live value."""
+    V = A_g ? V_f : V_g).  A is an int32 0/1 mask (Mosaic rejects i1
+    vectors); row 0 must have A == 0, which grounds every composition so
+    shifted-in padding never reaches a live value.  (Legacy-path form;
+    the fast rows use _gated_chain_sign.)"""
     cols, p = A.shape
     sh = 1
     while sh < cols:
@@ -125,7 +136,8 @@ def _gated_chain(A, V):
 
 def _gated_chain_affine(A, V, b):
     """Affine variant for the count chain: f_k(x) = A_k ? x + b_k : V_k
-    (compose: A = A_g & A_f, V = A_g ? V_f + b_g : V_g, b = b_g + b_f)."""
+    (compose: A = A_g & A_f, V = A_g ? V_f + b_g : V_g, b = b_g + b_f).
+    (Legacy-path form.)"""
     cols, p = A.shape
     sh = 1
     while sh < cols:
@@ -138,6 +150,38 @@ def _gated_chain_affine(A, V, b):
         A = A * A_sh
         sh *= 2
     return V
+
+
+def _gated_chain_sign(W, cols: int):
+    """Sign-gated constant chain: W = V | (gate << 31) with V >= 0;
+    resolves out[k] = gate[k] ? out[k-1] : V[k] in ceil(log2 cols) steps
+    of shift + compare + select (the gate rides the value's sign bit, so
+    no separate (A, V) pair composition).  Row 0 must have gate == 0:
+    the chain is then fully grounded within the log steps and the result
+    always comes from a gate-0 source, i.e. its sign bit is clear."""
+    p = W.shape[1]
+    sh = 1
+    while sh < cols:
+        W_sh = jnp.concatenate([jnp.zeros((sh, p), jnp.int32), W[:-sh]], axis=0)
+        W = jnp.where(W < 0, W_sh, W)
+        sh *= 2
+    return W
+
+
+def _extract_bits(n_rows: int, w: int, cm_tuple):
+    """Static layout for the packed elementwise running-max extraction:
+    (value << (ibits+kbits)) | ((IM - row) << kbits) | (KM - col).
+    int32 `>` on these words IS the reference's strict-> row-major
+    running max (value desc, then row asc, then column asc on ties).
+    Returns (ibits, kbits), or None when the worst-case DP value cannot
+    share 31 bits with the coordinates (long-read shapes -> legacy rows).
+    """
+    kbits = (w + 1).bit_length()
+    ibits = max(int(n_rows).bit_length(), 1)
+    vmax = (n_rows + w + 2) * max(max(cm_tuple), 1)
+    if vmax.bit_length() + ibits + kbits <= 31:
+        return (ibits, kbits)
+    return None
 
 
 def _sub_row(a_code, b_codes, cm_tuple, pblk):
@@ -191,16 +235,123 @@ def _sub_from_planes(a_code, planes):
     )
 
 
-def _phase1_row(carry, i, a_code, *, planes, alen, karr, la_max, w, gO, gE, cm_tuple):
-    """One DP row of the phase-1 banded SW with in-fill stop propagation.
+# ---------------------------------------------------------------------------
+# Phase 1 — banded SW of A vs B[0:width], anchoring where B's prefix
+# lands in A (src/BioLibs.scala:399-466).
+# ---------------------------------------------------------------------------
 
-    Pure function of the carried band state — the Pallas kernel runs it
-    under ``fori_loop`` and the CPU path under ``lax.scan``, so both
-    backends share one source of semantics.  ``cont`` carries the
-    previous row's liveness mask (mx > 0) so it is never recomputed."""
+
+def _p1_consts(cols: int, pblk: int, w: int, gE: int, xpk):
+    """Loop-invariant [*, P] constants, built ONCE per kernel/scan (the
+    round-4 rows rebuilt the iota products every row inside fori_loop,
+    where Mosaic does not hoist them)."""
+    karr = jax.lax.broadcasted_iota(jnp.int32, (cols, pblk), 0)
+    k1 = jax.lax.broadcasted_iota(jnp.int32, (w, pblk), 0) + 1
+    d = dict(
+        karr=karr,
+        k1gE=k1 * gE,
+        k21gE=(k1 + 1) * gE,
+        Km1=(karr - 1) & 0xFFFF,
+    )
+    if xpk is not None:
+        ibits, kbits = xpk
+        d["IM"] = (1 << ibits) - 1
+        d["kcode1"] = ((1 << kbits) - 1) - k1
+    return d
+
+
+def _phase1_row_fast(
+    carry, i, a_code, *, planes, alen, cst, w, gO, gE, xpk, gate_len,
+):
+    """One DP row of the phase-1 banded SW with in-fill stop propagation
+    — the round-5 low-op form (packed elementwise extraction, sign-gated
+    X chain, fused aux select tree).  ``gate_len=False`` skips the
+    (i <= alen) extraction gate (uniform-length lanes span all rows)."""
+    mp, xp, yp, sp, cont, R, capA = carry
+    ibits, kbits = xpk
+    pblk = a_code.shape[0]
+    sub = _sub_from_planes(a_code, planes)
+    zrow1 = jnp.zeros((1, pblk), jnp.int32)
+    m_new = jnp.concatenate(
+        [zrow1, sub + _max3(mp[:-1], yp[:-1], jnp.maximum(xp[:-1], 0))],
+        axis=0,
+    )
+    y_new = jnp.concatenate(
+        [zrow1, gE + _max3(mp[1:] + gO, yp[1:], jnp.maximum(xp[1:] + gO, 0))],
+        axis=0,
+    )
+    c = jnp.maximum(jnp.maximum(m_new[:-1], y_new[:-1]) + gO, 0)
+    run = _band_cummax(c - cst["k1gE"], w)
+    x_new = jnp.concatenate([zrow1, cst["k21gE"] + run], axis=0)
+    mx = _max3(m_new, x_new, y_new)
+    cont_new = (mx > 0).astype(jnp.int32)
+    is_m = m_new == mx
+
+    # M branch: pred = (i-1, k-1); Y branch: pred = (i-1, k) — one fused
+    # select tree over (aux, liveness, dead-pred coords)
+    sp_sh = jnp.concatenate([zrow1, sp[:-1]], axis=0)
+    cont_sh = jnp.concatenate([zrow1, cont[:-1]], axis=0)
+    st = jnp.where(is_m, sp_sh, sp)
+    ct = jnp.where(is_m, cont_sh, cont)
+    cell = ((i - 1) << 16) | jnp.where(is_m, cst["Km1"], cst["karr"])
+    s0 = jnp.where(ct == 1, st, cell)
+
+    # X branch: pred = (i, k-1) — in-row recurrence, sign-gated chain
+    # (row 0 is never X-updated: chain grounded)
+    is_x = jnp.concatenate(
+        [zrow1,
+         ((x_new[1:] == mx[1:]) & (m_new[1:] != mx[1:])).astype(jnp.int32)],
+        axis=0,
+    )
+    lc = jnp.concatenate([zrow1, cont_new[:-1]], axis=0)
+    xbase = (i << 16) | cst["Km1"]
+    V = jnp.where(is_x == 1, xbase, s0)
+    s_new = _gated_chain_sign(V | ((is_x * lc) << 31), w + 1)
+
+    # running best: elementwise packed (value, -row, -col) max per band
+    # position + per-position aux capture; ONE reduction at kernel end
+    val = jnp.maximum(mx[1:], 0)
+    addv = ((cst["IM"] - i) << kbits) + cst["kcode1"]
+    P = (val << (ibits + kbits)) | addv
+    if gate_len:
+        P = jnp.where((i <= alen)[None, :], P, 0)
+    upd = P > R
+    capA = jnp.where(upd, s_new[1:], capA)
+    R = jnp.where(upd, P, R)
+    return m_new, x_new, y_new, s_new, cont_new, R, capA
+
+
+def _phase1_init_fast(cols, w, pblk):
+    zero = jnp.zeros((cols, pblk), jnp.int32)
+    zw = jnp.zeros((w, pblk), jnp.int32)
+    return zero, zero, zero, zero, zero, zw, zw
+
+
+def _p1_final(R, capA, xpk):
+    """Decode the packed running best: (best, bi, jb, fst) [P] each,
+    matching the legacy per-row extraction (zeros when never positive)."""
+    ibits, kbits = xpk
+    IM, KM = (1 << ibits) - 1, (1 << kbits) - 1
+    rb = jnp.max(R, axis=0)
+    sel = R == rb[None, :]
+    cap = jnp.max(jnp.where(sel, capA, 0), axis=0)
+    best = rb >> (ibits + kbits)
+    pos = best > 0
+    z = jnp.zeros_like(best)
+    bi = jnp.where(pos, IM - ((rb >> kbits) & IM), z)
+    bj = jnp.where(pos, KM - (rb & KM), z)
+    fst = jnp.where(pos, cap, z)
+    return best, bi, bj, fst
+
+
+def _phase1_row_legacy(
+    carry, i, a_code, *, planes, alen, karr, la_max, w, gO, gE, cm_tuple,
+):
+    """Round-4 row step, kept verbatim for shapes whose packed encodings
+    exceed 31 bits (reads ~>= 1000 bp).  ``cont`` carries the previous
+    row's liveness mask (mx > 0) so it is never recomputed."""
     mp, xp, yp, sp, cont, best, bi, bj, fst = carry
     pblk = a_code.shape[0]
-    cols = w + 1
     sub = _sub_from_planes(a_code, planes)
     zrow1 = jnp.zeros((1, pblk), jnp.int32)
     m_new = jnp.concatenate(
@@ -220,7 +371,6 @@ def _phase1_row(carry, i, a_code, *, planes, alen, karr, la_max, w, gO, gE, cm_t
     cont_i = cont  # row i-1 liveness, carried from its own mx
 
     # M branch: pred = (i-1, k-1); Y branch: pred = (i-1, k)
-    # (int32 shift, not bool concat — Mosaic rejects i1 vector selects)
     pm_cont = jnp.concatenate([zrow1, cont_i[:-1]], 0)
     pm_st = jnp.concatenate([zrow1, sp[:-1]], 0)
     im1 = (i - 1) << 16
@@ -229,8 +379,7 @@ def _phase1_row(carry, i, a_code, *, planes, alen, karr, la_max, w, gO, gE, cm_t
     selY = jnp.where(cont_i == 1, sp, im1 | karr)
     s0 = jnp.where(br == 0, selM, selY)
 
-    # X branch: pred = (i, k-1) — the in-row recurrence, resolved by the
-    # log-doubling gated chain (row 0 is never X-updated: chain grounded)
+    # X branch: pred = (i, k-1)
     i16 = i << 16
     is_x = jnp.concatenate(
         [zrow1, (br[1:] == 1).astype(jnp.int32)], axis=0
@@ -256,7 +405,7 @@ def _phase1_row(carry, i, a_code, *, planes, alen, karr, la_max, w, gO, gE, cm_t
     return m_new, x_new, y_new, s_new, cont_new, best, bi, bj, fst
 
 
-def _phase1_init(cols, pblk):
+def _phase1_init_legacy(cols, pblk):
     zero = jnp.zeros((cols, pblk), jnp.int32)
     z = jnp.zeros((pblk,), jnp.int32)
     return zero, zero, zero, zero, zero, z, z, z, z
@@ -315,6 +464,7 @@ def _phase1_packed_kernel(
     aw_ref, bw_ref, alen_ref,
     best_ref, bi_ref, bj_ref, fi_ref, fj_ref,
     *, la_max: int, w: int, gO: int, gE: int, cm_tuple, wpr_b: int,
+    ulen: int = 0,
 ):
     pblk = aw_ref.shape[1]
     cols = w + 1
@@ -328,19 +478,37 @@ def _phase1_packed_kernel(
         axis=0,
     )
     alen = alen_ref[0, :]
-    karr = jax.lax.broadcasted_iota(jnp.int32, (cols, pblk), 0)
     planes = _sub_planes(b_codes, cm_tuple)  # hoisted out of the row loop
+    xpk = _extract_bits(la_max, w, cm_tuple)
 
-    def body(i, carry):
-        return _phase1_row(
-            carry, i, _unpack_dyn(aw_ref, i - 1), planes=planes,
-            alen=alen, karr=karr, la_max=la_max, w=w, gO=gO, gE=gE,
-            cm_tuple=cm_tuple,
+    if xpk is not None:
+        cst = _p1_consts(cols, pblk, w, gE, xpk)
+        gate_len = not (ulen and ulen == la_max)
+
+        def body(i, carry):
+            return _phase1_row_fast(
+                carry, i, _unpack_dyn(aw_ref, i - 1), planes=planes,
+                alen=alen, cst=cst, w=w, gO=gO, gE=gE, xpk=xpk,
+                gate_len=gate_len,
+            )
+
+        *_, R, capA = jax.lax.fori_loop(
+            1, la_max + 1, body, _phase1_init_fast(cols, w, pblk)
         )
+        best, bi, bj, fst = _p1_final(R, capA, xpk)
+    else:
+        karr = jax.lax.broadcasted_iota(jnp.int32, (cols, pblk), 0)
 
-    *_, best, bi, bj, fst = jax.lax.fori_loop(
-        1, la_max + 1, body, _phase1_init(cols, pblk)
-    )
+        def body(i, carry):
+            return _phase1_row_legacy(
+                carry, i, _unpack_dyn(aw_ref, i - 1), planes=planes,
+                alen=alen, karr=karr, la_max=la_max, w=w, gO=gO, gE=gE,
+                cm_tuple=cm_tuple,
+            )
+
+        *_, best, bi, bj, fst = jax.lax.fori_loop(
+            1, la_max + 1, body, _phase1_init_legacy(cols, pblk)
+        )
     best_ref[0, :] = best
     bi_ref[0, :] = bi
     bj_ref[0, :] = bj
@@ -353,29 +521,52 @@ def _phase1_fused_scan(a_t, b_t, a_len, *, la_max, w, gO, gE, cm_tuple):
     p = a_t.shape[1]
     cols = w + 1
     b_codes = b_t[0:w, :]
-    karr = jax.lax.broadcasted_iota(jnp.int32, (cols, p), 0)
     planes = _sub_planes(b_codes, cm_tuple)
+    xpk = _extract_bits(la_max, w, cm_tuple)
+    rows_i = jnp.arange(1, la_max + 1, dtype=jnp.int32)
+
+    if xpk is not None:
+        cst = _p1_consts(cols, p, w, gE, xpk)
+
+        def step(carry, xs):
+            i, a_code = xs
+            return _phase1_row_fast(
+                carry, i, a_code, planes=planes, alen=a_len, cst=cst,
+                w=w, gO=gO, gE=gE, xpk=xpk, gate_len=True,
+            ), None
+
+        (*_, R, capA), _ = jax.lax.scan(
+            step, _phase1_init_fast(cols, w, p), (rows_i, a_t[:la_max])
+        )
+        best, bi, bj, fst = _p1_final(R, capA, xpk)
+        return best, bi, bj, fst >> 16, fst & 0xFFFF
+
+    karr = jax.lax.broadcasted_iota(jnp.int32, (cols, p), 0)
 
     def step(carry, xs):
         i, a_code = xs
-        return _phase1_row(
+        return _phase1_row_legacy(
             carry, i, a_code, planes=planes, alen=a_len, karr=karr,
             la_max=la_max, w=w, gO=gO, gE=gE, cm_tuple=cm_tuple,
         ), None
 
     (*_, best, bi, bj, fst), _ = jax.lax.scan(
-        step, _phase1_init(cols, p),
-        (jnp.arange(1, la_max + 1, dtype=jnp.int32), a_t[:la_max]),
+        step, _phase1_init_legacy(cols, p), (rows_i, a_t[:la_max])
     )
     return best, bi, bj, fst >> 16, fst & 0xFFFF
+
+
+# ---------------------------------------------------------------------------
+# Phase 2 — rotated-band dovetail DP from the phase-1 anchor
+# (src/BioLibs.scala:473-589).
+# ---------------------------------------------------------------------------
 
 
 def _p2_pack(la_max: int, w: int):
     """Static bit layout for the MERGED phase-2 aux chain: when
     (stop_u, stop_k, correct, error) all fit one non-negative int32
     ((u << sh_u) | (k << sh_k) | (corr << bits_c) | err), the stop-coord
-    and count recurrences share ONE gated affine chain instead of two —
-    the chains are phase 2's largest op block.  Returns
+    and count recurrences share ONE gated chain instead of two.  Returns
     (sh_u, sh_k, bits_c) or None (fall back to the dual-chain form for
     long-read shapes whose fields exceed 31 bits)."""
     bits_u = max(la_max.bit_length(), 1)
@@ -386,15 +577,142 @@ def _p2_pack(la_max: int, w: int):
     return None
 
 
-def _phase2_row(
+def _p2_consts(cols: int, pblk: int, w: int, gE: int, pack, xpk):
+    """Loop-invariant constants for the fast phase-2 row."""
+    sh_u, sh_k, bits_c = pack
+    ubits, kbits = xpk
+    karr = jax.lax.broadcasted_iota(jnp.int32, (cols, pblk), 0)
+    k1 = jax.lax.broadcasted_iota(jnp.int32, (w, pblk), 0) + 1
+    km = (1 << (sh_u - sh_k)) - 1
+    return dict(
+        karr=karr,
+        k1gE=k1 * gE,
+        k21gE=(k1 + 1) * gE,
+        not_w=karr != w,
+        kshm=karr << sh_k,
+        kshy=(karr + 1) << sh_k,
+        # xbase for the X dead-left case, +1 for the X step's own error
+        km1sh1=(((karr - 1) & km) << sh_k) + 1,
+        wk=w - karr,
+        UM=(1 << ubits) - 1,
+        kcode=((1 << kbits) - 1) - karr,
+    )
+
+
+def _phase2_row_fast(
+    carry, u, a_code, nxt_row, *, dlen, blen, cst, w, zero_row,
+    gO, gE, cm_tuple, pack, xpk, jmask: bool,
+):
+    """One DP row of the rotated-band phase 2 — the round-5 low-op form.
+
+    ``jmask`` statically selects whether the in-band (1 <= j <= blen)
+    masks are applied; interior rows of uniform-length batches skip them
+    (the masks are provably all-true there).  The (u <= dlen) part of the
+    round-4 ``inb`` moved to the extraction gate: cells in rows beyond a
+    lane's dove length may now hold garbage, but they only ever feed
+    later rows of the same lane (also beyond dlen) and the extraction
+    gate keeps them out of the running best — outputs are identical.
+    The band window of B is carried and slid one row per step."""
+    mp, xp, yp, sp, cont, R, capA, b_codes = carry
+    sh_u, sh_k, bits_c = pack
+    ubits, kbits = xpk
+    pblk = a_code.shape[0]
+    zrow1 = jnp.zeros((1, pblk), jnp.int32)
+    sub = _sub_row(a_code, b_codes, cm_tuple, pblk)
+    eq = a_code[None, :] == b_codes
+    shift = lambda r: jnp.concatenate([r[1:], zrow1], axis=0)
+    m_in = sub + _max3(mp, yp, jnp.maximum(xp, 0))
+    y_in = gE + _max3(
+        shift(mp) + gO, shift(yp), jnp.maximum(shift(xp) + gO, 0)
+    )
+    if jmask:
+        j = cst["karr"] + (u - zero_row)
+        jb_ok = (j >= 1) & (j <= blen[None, :])
+        m_new = jnp.where(jb_ok, m_in, 0)
+        y_new = jnp.where(jb_ok & cst["not_w"], y_in, 0)
+        c = jnp.maximum(jnp.maximum(m_new[:-1], y_new[:-1]) + gO, 0)
+        run = _band_cummax(jnp.where(jb_ok[1:], c - cst["k1gE"], _NEG), w)
+        x_new = jnp.where(
+            jb_ok, jnp.concatenate([zrow1, cst["k21gE"] + run], axis=0), 0
+        )
+    else:
+        m_new = m_in
+        y_new = jnp.where(cst["not_w"], y_in, 0)
+        c = jnp.maximum(jnp.maximum(m_new[:-1], y_new[:-1]) + gO, 0)
+        run = _band_cummax(c - cst["k1gE"], w)
+        x_new = jnp.concatenate([zrow1, cst["k21gE"] + run], axis=0)
+    mx = _max3(m_new, x_new, y_new)
+    cont_new = (mx > 0).astype(jnp.int32)
+    is_m = m_new == mx
+
+    # M branch: pred = (u-1, k); Y branch: pred = (u-1, k+1)
+    st = jnp.where(is_m, sp, shift(sp))
+    ct = jnp.where(is_m, cont, shift(cont))
+    cell = ((u - 1) << sh_u) + jnp.where(is_m, cst["kshm"], cst["kshy"])
+    dctr = jnp.where(is_m & eq, 1 << bits_c, 1)  # match or error
+    s0 = jnp.where(ct == 1, st, cell) + dctr
+
+    # X branch: pred = (u, k-1).  The affine chain (+1 error per
+    # traversed cell) becomes a CONSTANT sign-gated chain via the change
+    # of variable out' = out + (w - k): gated steps carry out' unchanged
+    # (out[k] = out[k-1] + 1 <=> out'[k] = out'[k-1]); one add before /
+    # subtract after the chain restores the counts exactly.
+    is_x = jnp.concatenate(
+        [zrow1,
+         ((x_new[1:] == mx[1:]) & (m_new[1:] != mx[1:])).astype(jnp.int32)],
+        axis=0,
+    )
+    lc = jnp.concatenate([zrow1, cont_new[:-1]], axis=0)
+    xbase1 = (u << sh_u) + cst["km1sh1"]
+    V = jnp.where(is_x == 1, xbase1, s0)
+    W = (V + cst["wk"]) | ((is_x * lc) << 31)
+    s_new = _gated_chain_sign(W, w + 1) - cst["wk"]
+
+    # running best: packed elementwise max + aux capture (decoded once
+    # at kernel end); rows beyond the lane's dove length are gated out
+    val = jnp.maximum(mx, 0)
+    addv = ((cst["UM"] - u) << kbits) + cst["kcode"]
+    P = (val << (ubits + kbits)) | addv
+    P = jnp.where((u <= dlen)[None, :], P, 0)
+    upd = P > R
+    capA = jnp.where(upd, s_new, capA)
+    R = jnp.where(upd, P, R)
+
+    b_next = jnp.concatenate([b_codes[1:], nxt_row[None, :]], axis=0)
+    return m_new, x_new, y_new, s_new, cont_new, R, capA, b_next
+
+
+def _phase2_init_fast(cols, pblk, b0):
+    zero = jnp.zeros((cols, pblk), jnp.int32)
+    return zero, zero, zero, zero, zero, zero, zero, b0
+
+
+def _p2_final(R, capA, xpk, pack):
+    """Decode the packed running best into the legacy output tuple
+    (best, bu, bk, uf, kf, corr, err)."""
+    ubits, kbits = xpk
+    UM, KM = (1 << ubits) - 1, (1 << kbits) - 1
+    rb = jnp.max(R, axis=0)
+    sel = R == rb[None, :]
+    cap = jnp.max(jnp.where(sel, capA, 0), axis=0)
+    best = rb >> (ubits + kbits)
+    pos = best > 0
+    z = jnp.zeros_like(best)
+    bu = jnp.where(pos, UM - ((rb >> kbits) & UM), z)
+    bk = jnp.where(pos, KM - (rb & KM), z)
+    fst = jnp.where(pos, cap, z)
+    uf, kf, corr, err = _p2_decode(fst, None, pack)
+    return best, bu, bk, uf, kf, corr, err
+
+
+def _phase2_row_legacy(
     carry, u, a_code, nxt_row, *, dlen, blen, karr, la_max, w, zero_row,
     gO, gE, cm_tuple, pack,
 ):
-    """One DP row of the rotated-band phase 2 with in-fill stop +
-    match/error propagation.  ``pack`` selects the aux encoding:
-    None -> dual chains (st packs u<<16|k, ct packs correct<<16|error);
-    (sh_u, sh_k, bits_c) -> ONE merged chain carrying all four fields.
-    The band window of B is carried and slid one row per step."""
+    """Round-4 row step, kept verbatim for long-read shapes.  ``pack``
+    selects the aux encoding: None -> dual chains (st packs u<<16|k, ct
+    packs correct<<16|error); (sh_u, sh_k, bits_c) -> ONE merged chain
+    carrying all four fields."""
     if pack is None:
         mp, xp, yp, sp, cp, cont, best, bu, bk, fst, fct, b_codes = carry
     else:
@@ -422,7 +740,6 @@ def _phase2_row(
     x_new = jnp.where(inb & (karr != 0), x_new, 0)
 
     br, mx = _branch(m_new, x_new, y_new)
-    # int32 masks throughout: Mosaic rejects selects producing i1 vectors
     cont_i = cont  # row u-1 liveness, carried from its own mx
     is_m = br == 0
 
@@ -443,9 +760,6 @@ def _phase2_row(
         s0 = jnp.where(sel_cont, sel_st, sel_cell)
         c0 = jnp.where(sel_cont, sel_ct, 0) + dctr
 
-        # X branch: pred = (u, k-1) — the in-row recurrence for the stop
-        # coords (gated constant maps) and the counts (gated affine maps),
-        # resolved by log-doubling instead of a width-step serialized chain
         u16 = u << 16
         xbase = u16 | ((karr - 1) & 0xFFFF)
         vs = jnp.where(is_x == 1, jnp.where(lc == 1, 0, xbase), s0)
@@ -453,9 +767,6 @@ def _phase2_row(
         s_new = _gated_chain(ax, vs)
         c_new = _gated_chain_affine(ax, vc, ax)
     else:
-        # merged chain: one select tree + ONE gated affine chain carries
-        # coords and counts together; count increments live in the low
-        # fields and can never carry across (bounded by the path length)
         um1 = (u - 1) << sh_u
         sel_st = jnp.where(is_m, sp, shift(sp))
         sel_cell = jnp.where(
@@ -499,7 +810,7 @@ def _p2_decode(fst, fct, pack):
     )
 
 
-def _phase2_init(cols, pblk, b0, pack):
+def _phase2_init_legacy(cols, pblk, b0, pack):
     zero = jnp.zeros((cols, pblk), jnp.int32)
     z = jnp.zeros((pblk,), jnp.int32)
     if pack is None:
@@ -512,18 +823,20 @@ def _phase2_packed_kernel(
     best_ref, bu_ref, bk_ref, uf_ref, kf_ref, c_ref, e_ref,
     sw_ref,
     *, la_max: int, w: int, zero_row: int, gO: int, gE: int, cm_tuple,
-    wpr: int, wpr_b: int,
+    wpr: int, wpr_b: int, ulen: int = 0,
 ):
     """Phase 2 on packed words: the dove shift happens HERE (word
     rotation + per-lane bit shift into VMEM scratch, once per pair), and
     both operands unpack row-by-row — no [la_max, P] shifted-code plane
-    or [la_max + w + 1, P] padded-B plane ever exists."""
+    or [la_max + w + 1, P] padded-B plane ever exists.  With a static
+    uniform read length (``ulen``) the row loop splits into masked-head /
+    unmasked-interior / masked-tail fori_loops."""
     pblk = aw_ref.shape[1]
     cols = w + 1
     dlen = dlen_ref[0, :]
     blen = blen_ref[0, :]
-    karr = jax.lax.broadcasted_iota(jnp.int32, (cols, pblk), 0)
     pack = _p2_pack(la_max, w)
+    xpk = _extract_bits(la_max, w, cm_tuple)
     sw_ref[:, :] = _shift_words(aw_ref[:, :], ds_ref[0, :], wpr)
 
     # band window for u = 1: window row r holds B code (r - zero_row)
@@ -537,28 +850,60 @@ def _phase2_packed_kernel(
         axis=0,
     )
 
-    def body(u, carry):
-        a_code = _unpack_dyn(sw_ref, u - 1)
+    def _nxt(u):
         jb = u + cols - zero_row - 1  # B code index entering the window
         brow = bw_ref[pl.ds(jnp.clip(jb >> 4, 0, wpr_b - 1), 1), :]
-        nxt = jnp.where(
-            jb < 16 * wpr_b, (brow[0] >> (2 * (jb & 15))) & 3, 0
-        )
-        return _phase2_row(
-            carry, u, a_code, nxt, dlen=dlen, blen=blen, karr=karr,
-            la_max=la_max, w=w, zero_row=zero_row, gO=gO, gE=gE,
-            cm_tuple=cm_tuple, pack=pack,
-        )
+        return jnp.where(jb < 16 * wpr_b, (brow[0] >> (2 * (jb & 15))) & 3, 0)
 
-    out = jax.lax.fori_loop(
-        1, la_max + 1, body, _phase2_init(cols, pblk, b0, pack)
-    )
-    if pack is None:
-        *_, best, bu, bk, fst, fct, _b = out
+    if pack is not None and xpk is not None:
+        cst = _p2_consts(cols, pblk, w, gE, pack, xpk)
+
+        def mk_body(jmask):
+            def body(u, carry):
+                return _phase2_row_fast(
+                    carry, u, _unpack_dyn(sw_ref, u - 1), _nxt(u),
+                    dlen=dlen, blen=blen, cst=cst, w=w, zero_row=zero_row,
+                    gO=gO, gE=gE, cm_tuple=cm_tuple, pack=pack, xpk=xpk,
+                    jmask=jmask,
+                )
+            return body
+
+        init = _phase2_init_fast(cols, pblk, b0)
+        if ulen:
+            # interior rows have 1 <= j <= blen for the whole band:
+            # u in [zero_row + 1, ulen - w + zero_row]
+            h_end = min(zero_row + 1, la_max + 1)
+            t_start = max(h_end, min(la_max + 1, ulen - w + zero_row + 1))
+            carry = jax.lax.fori_loop(1, h_end, mk_body(True), init)
+            carry = jax.lax.fori_loop(h_end, t_start, mk_body(False), carry)
+            carry = jax.lax.fori_loop(
+                t_start, la_max + 1, mk_body(True), carry
+            )
+        else:
+            carry = jax.lax.fori_loop(1, la_max + 1, mk_body(True), init)
+        best, bu, bk, uf, kf, corr, err = _p2_final(
+            carry[5], carry[6], xpk, pack
+        )
     else:
-        *_, best, bu, bk, fst, _b = out
-        fct = None
-    uf, kf, corr, err = _p2_decode(fst, fct, pack)
+        karr = jax.lax.broadcasted_iota(jnp.int32, (cols, pblk), 0)
+
+        def body(u, carry):
+            return _phase2_row_legacy(
+                carry, u, _unpack_dyn(sw_ref, u - 1), _nxt(u),
+                dlen=dlen, blen=blen, karr=karr, la_max=la_max, w=w,
+                zero_row=zero_row, gO=gO, gE=gE, cm_tuple=cm_tuple,
+                pack=pack,
+            )
+
+        out = jax.lax.fori_loop(
+            1, la_max + 1, body, _phase2_init_legacy(cols, pblk, b0, pack)
+        )
+        if pack is None:
+            *_, best, bu, bk, fst, fct, _b = out
+        else:
+            *_, best, bu, bk, fst, _b = out
+            fct = None
+        uf, kf, corr, err = _p2_decode(fst, fct, pack)
     best_ref[0, :] = best
     bu_ref[0, :] = bu
     bk_ref[0, :] = bk
@@ -573,8 +918,8 @@ def _phase2_fused_scan(
 ):
     p = a_shift.shape[1]
     cols = w + 1
-    karr = jax.lax.broadcasted_iota(jnp.int32, (cols, p), 0)
     pack = _p2_pack(la_max, w)
+    xpk = _extract_bits(la_max, w, cm_tuple)
     npad = b_pad.shape[0]
     b0 = b_pad[1 : cols + 1, :]
     # next window rows for u = 1..la_max: b_pad[min(u + cols, npad - 1)]
@@ -582,19 +927,38 @@ def _phase2_fused_scan(
         b_pad[npad - 1][None, :], (max(la_max + 1 + cols - npad, 0), p)
     )
     nxt_rows = jnp.concatenate([b_pad[cols + 1 :], tail], axis=0)[:la_max]
+    rows_u = jnp.arange(1, la_max + 1, dtype=jnp.int32)
+
+    if pack is not None and xpk is not None:
+        cst = _p2_consts(cols, p, w, gE, pack, xpk)
+
+        def step(carry, xs):
+            u, a_code, nxt = xs
+            return _phase2_row_fast(
+                carry, u, a_code, nxt, dlen=dove_len, blen=b_len, cst=cst,
+                w=w, zero_row=zero_row, gO=gO, gE=gE, cm_tuple=cm_tuple,
+                pack=pack, xpk=xpk, jmask=True,
+            ), None
+
+        carry, _ = jax.lax.scan(
+            step, _phase2_init_fast(cols, p, b0),
+            (rows_u, a_shift[:la_max], nxt_rows),
+        )
+        return _p2_final(carry[5], carry[6], xpk, pack)
+
+    karr = jax.lax.broadcasted_iota(jnp.int32, (cols, p), 0)
 
     def step(carry, xs):
         u, a_code, nxt = xs
-        return _phase2_row(
+        return _phase2_row_legacy(
             carry, u, a_code, nxt, dlen=dove_len, blen=b_len, karr=karr,
             la_max=la_max, w=w, zero_row=zero_row, gO=gO, gE=gE,
             cm_tuple=cm_tuple, pack=pack,
         ), None
 
     out, _ = jax.lax.scan(
-        step, _phase2_init(cols, p, b0, pack),
-        (jnp.arange(1, la_max + 1, dtype=jnp.int32), a_shift[:la_max],
-         nxt_rows),
+        step, _phase2_init_legacy(cols, p, b0, pack),
+        (rows_u, a_shift[:la_max], nxt_rows),
     )
     if pack is None:
         *_, best, bu, bk, fst, fct, _b = out
@@ -635,17 +999,21 @@ def phase2_fused(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("la_max", "w", "gO", "gE", "cm_tuple", "pblk", "interpret"),
+    static_argnames=(
+        "la_max", "w", "gO", "gE", "cm_tuple", "pblk", "interpret", "ulen",
+    ),
 )
 def phase1_fused_packed(
     aw_t, bw_t, a_len, *, la_max, w, gO, gE, cm_tuple, pblk=256,
-    interpret=False,
+    interpret=False, ulen=0,
 ):
     """Phase 1 from packed words ([wpr, P] int32 per operand, wpr =
     ceil(L/16)): operands unpack row-by-row inside the kernel, so the
     [la_max, P] code planes (and their 26M-element gathers per chunk)
     never exist.  ``interpret=True`` runs the SAME kernel under the Pallas
-    interpreter so CPU CI covers the TPU kernel code."""
+    interpreter so CPU CI covers the TPU kernel code.  ``ulen`` (static)
+    marks every lane as spanning the full la_max rows (uniform-length
+    batches), dropping the per-row length gate."""
     p = aw_t.shape[1]
     # a pblk > p would launch a zero-size grid and return uninitialized
     # buffers — callers clamp (models/overlapper.py), this fails loudly
@@ -653,7 +1021,7 @@ def phase1_fused_packed(
     wpr, wpr_b = aw_t.shape[0], bw_t.shape[0]
     kernel = functools.partial(
         _phase1_packed_kernel, la_max=la_max, w=w, gO=gO, gE=gE,
-        cm_tuple=cm_tuple, wpr_b=wpr_b,
+        cm_tuple=cm_tuple, wpr_b=wpr_b, ulen=ulen,
     )
     outs = pl.pallas_call(
         kernel,
@@ -673,12 +1041,14 @@ def phase1_fused_packed(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "la_max", "w", "zero_row", "gO", "gE", "cm_tuple", "pblk", "interpret",
+        "la_max", "w", "zero_row", "gO", "gE", "cm_tuple", "pblk",
+        "interpret", "ulen",
     ),
 )
 def phase2_fused_packed(
     aw_t, bw_t, dove_start, dove_len, b_len, *,
     la_max, w, zero_row, gO, gE, cm_tuple, pblk=256, interpret=False,
+    ulen=0,
 ):
     """Phase 2 from packed words with the in-kernel dove shift."""
     p = aw_t.shape[1]
@@ -686,7 +1056,7 @@ def phase2_fused_packed(
     wpr, wpr_b = aw_t.shape[0], bw_t.shape[0]
     kernel = functools.partial(
         _phase2_packed_kernel, la_max=la_max, w=w, zero_row=zero_row,
-        gO=gO, gE=gE, cm_tuple=cm_tuple, wpr=wpr, wpr_b=wpr_b,
+        gO=gO, gE=gE, cm_tuple=cm_tuple, wpr=wpr, wpr_b=wpr_b, ulen=ulen,
     )
     outs = pl.pallas_call(
         kernel,
@@ -916,5 +1286,3 @@ def fast_dovetail_batch_fused(
         return a_t.reshape(-1)[idx.reshape(-1)].reshape(la_max, p)
 
     return _fused_core(a_t, b_t, a_len, b_len, shift_flat, **kw)
-
-
