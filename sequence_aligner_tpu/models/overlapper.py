@@ -520,10 +520,25 @@ class Overlapper:
         pack_den = getattr(self, "_uniform_den", 0)
         prescreen_w = None
         if self.prescreen and packed and pack_den:
-            # window = the band width the DP itself will use: two real
-            # collisions of one alignment can differ by at most the band's
-            # reachable diagonal spread
-            prescreen_w = int(s.band_width(pack_den + s.kmer_size))
+            # validity-implied window: two collisions lying ON one valid
+            # alignment's path differ in diagonal by at most its indel
+            # count <= floor((1 - min_identity) * align_len), and
+            # align_len <= la + w + 2 — far tighter than the band width
+            # the round-4 screen used (2 vs 12 diagonals at 100 bp).
+            # The threshold stays at 2-in-window: a minimal valid overlap
+            # (min_overlap cols at min_identity, sitting at the reads'
+            # ends) produces only ~2 edge/middle-counted collisions, so
+            # any higher clustered-mass bar provably drops real records
+            # (see README's prescreen study).  SEQALIGN_PRESCREEN_W
+            # overrides for probing.
+            la = pack_den + s.kmer_size
+            w = int(s.band_width(la))
+            tight = int(
+                (1.0 - float(s.min_identity)) * (la + w + 2)
+            )
+            prescreen_w = int(
+                os.environ.get("SEQALIGN_PRESCREEN_W", max(tight, 1))
+            )
         attempt = 0
         while True:
             out = candidate_pairs_stream(
