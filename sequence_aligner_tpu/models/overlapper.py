@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 from functools import partial
 
 import jax
@@ -274,8 +275,13 @@ def _phase1_chunk(
         b_len = lengths[b_idx]
     kw = dict(la_max=la_max, w=width, gO=gO, gE=gE, cm_tuple=cm_tuple)
     if not _interpret():
+        # phase 1 reads only B's first ``width`` codes: gather just
+        # ceil(width/16) packed words per B operand instead of all
+        # ceil(L/16) (the random row gathers are the chunk's main
+        # non-kernel cost)
+        wb = (width + 15) // 16
         p1 = phase1_fused_packed(
-            packed[a_idx].T, packed[b_idx].T, a_len,
+            packed[a_idx].T, packed[:, :wb][b_idx].T, a_len,
             pblk=pblk, interpret=kernel_interpret(), ulen=ulen, **kw,
         )
     else:
@@ -328,7 +334,7 @@ def _tier_order(dlen_all, bounds):
     jax.jit,
     static_argnames=(
         "bs", "width", "rows", "cm_tuple", "gO", "gE", "pblk", "vcap",
-        "ulen",
+        "ulen", "pack_out",
     ),
 )
 def _phase2_chunk_compact(
@@ -336,12 +342,15 @@ def _phase2_chunk_compact(
     count, *,
     bs: int, width: int, rows: int, cm_tuple, gO: int, gE: int,
     min_identity, min_overlap, max_ignore, pblk: int, vcap: int,
-    ulen: int = 0,
+    ulen: int = 0, pack_out: bool = False,
 ):
     """Split-align pass B: phase 2 + validity over one dove-length tier's
     chunk, DP looping only ``rows`` rows (>= every dove length in the
     tier).  Returns ([vcap, 4] of (lead, trail, ahg, bhg) valid rows,
-    count).  Validity replicates _dovetail_glue for non-dud pairs
+    count) — or, with ``pack_out`` (ids < 2^16 and hangs < 2^15), the
+    rows packed 2 int32 wide ((lead<<16|trail), (bhg<<16|ahg&0xFFFF)) so
+    the stage's single host fetch moves half the bytes over the ~25 MB/s
+    device tunnel.  Validity replicates _dovetail_glue for non-dud pairs
     (src/ObjectStore.scala:102-141)."""
     from sequence_aligner_tpu.ops.align_fused import (
         _dove_shift_packed, _interpret, _phase2_fused_scan,
@@ -411,13 +420,38 @@ def _phase2_chunk_compact(
     valid = (
         act2 & (tot > 0) & ident_ok & len_ok & dovetail & hang_ok & in_range
     )
-    cols4 = jnp.stack([lead_c, trail_c, ahg, bhg], axis=1)
+    if pack_out:
+        cols4 = jnp.stack(
+            [(lead_c << 16) | trail_c, (bhg << 16) | (ahg & 0xFFFF)], axis=1
+        )
+    else:
+        cols4 = jnp.stack([lead_c, trail_c, ahg, bhg], axis=1)
+    ncol = cols4.shape[1]
     incl = jnp.cumsum(valid.astype(jnp.int32))
     slot = jnp.where(valid, incl - 1, vcap)
-    buf = jnp.zeros((vcap + 1, 4), jnp.int32).at[slot].set(
+    buf = jnp.zeros((vcap + 1, ncol), jnp.int32).at[slot].set(
         jnp.where(valid[:, None], cols4, 0)
     )
     return buf[:vcap], incl[bs - 1]
+
+
+@partial(jax.jit, static_argnames=("out_cap",))
+def _pack_valid_rows(bufs, cnts, *, out_cap: int):
+    """Concatenate each chunk buffer's first ``cnt`` valid rows into ONE
+    device array: sequential dynamic_update_slice writes lay down each
+    whole padded buffer, and the next write's offset advances only by the
+    valid count, overwriting the predecessor's padding.  ``out_cap`` must
+    be >= total_valid + max buffer capacity so no write is start-clamped.
+    Turns the align stage's device->host transfer into a single sliced
+    fetch instead of one count-sliced fetch per chunk (each fetch pays
+    real latency on the remote device tunnel)."""
+    ncol = bufs[0].shape[1]
+    out = jnp.zeros((out_cap, ncol), jnp.int32)
+    off = jnp.int32(0)
+    for buf, cnt in zip(bufs, cnts):
+        out = jax.lax.dynamic_update_slice(out, buf, (off, jnp.int32(0)))
+        off = off + cnt
+    return out
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -629,6 +663,14 @@ class Overlapper:
             max_ignore=jnp.int32(s.max_ignore), kernel=kernel,
         )
         bufs, cnts, retries = [], [], []
+        # 2-int32 packed valid rows halve the stage's host-fetch bytes;
+        # needs ids < 2^16 and hangs < 2^15 (hangs are < max_ignore on
+        # every VALID row — masked rows emit 0)
+        pack_out = (
+            kernel == "fused"
+            and getattr(self, "_max_read_id", 1 << 16) < (1 << 16)
+            and int(s.max_ignore) <= (1 << 15) - 1
+        )
 
         def _bs_pblk(count_h):
             # pow2 lane-aligned batch, floor 128: the kernels launch
@@ -690,6 +732,10 @@ class Overlapper:
                 la_max=la_max, cm_tuple=cm_tuple, gO=s.gap_open,
                 gE=s.gap_extend,
             )
+            import time as _time
+
+            trace = bool(int(os.environ.get("SEQALIGN_ALIGN_TRACE", "0")))
+            t0 = _time.time()
             dparts = [
                 _phase1_chunk(
                     bases_d, lengths_d, packed_d, lead_dev, trail_dev, idx,
@@ -701,6 +747,9 @@ class Overlapper:
             dlen_all = dparts[0] if len(dparts) == 1 else jnp.concatenate(
                 dparts
             )
+            if trace:  # scalar-fetch sync: attribute phase 1 alone
+                int(dlen_all[0])
+                t_p1 = _time.time()
             self.stats.dp_cells += cnt_h * (la_max + 1) * (w + 1)
             # ---- pass B: phase 2 per dove-length tier (each tier's
             # kernel loops only its max dove length in rows; dove lengths
@@ -712,6 +761,13 @@ class Overlapper:
                 dlen_all, jnp.asarray(np.asarray(tiers, np.int32))
             )
             tcnt_hs = [int(x) for x in np.asarray(tcnt_all)]  # one fetch
+            if trace:  # the tcnt fetch synced phase 1 + the tier sort
+                self._trace_t_sort = _time.time()
+                print(
+                    f"align trace w={w}: p1={t_p1 - t0:.2f}s "
+                    f"tier_sort={self._trace_t_sort - t_p1:.2f}s "
+                    f"tiers={tcnt_hs}", file=sys.stderr, flush=True,
+                )
             toff_hs = list(np.cumsum([0] + tcnt_hs[:-1]))
             # pad so the last tier's chunk grid can never overrun (slots
             # past a tier's end are masked invalid by the chunk's count)
@@ -738,7 +794,7 @@ class Overlapper:
                     min_identity=jnp.float32(s.min_identity),
                     min_overlap=jnp.int32(s.min_overlap),
                     max_ignore=jnp.int32(s.max_ignore), pblk=pblk2,
-                    ulen=ulen,
+                    ulen=ulen, pack_out=pack_out,
                 )
                 for lo in range(0, tcnt_h, bs2):
                     def run2(
@@ -759,30 +815,72 @@ class Overlapper:
         if not bufs:
             return empty
         host_cnt = np.asarray(jnp.stack(cnts))
-        parts = []
-        for i, c in enumerate(host_cnt):
-            vcap_i = bufs[i].shape[0]
-            c = int(c)
-            if c == 0:
-                continue
-            if c > vcap_i:  # rare: chunk's valid rows overflowed the cap
-                run, bs_i = retries[i]
-                printdb(f"align chunk {i}: {c} valid > vcap {vcap_i}; rerun")
-                vcap2 = min(bs_i, _pow2_at_least(c, 1 << 16))
-                buf2, _ = run(vcap2)
-                parts.append(np.asarray(buf2)[:c])
-            else:
-                # fetch a pow2-tier slice, not the whole padded buffer:
-                # the device tunnel moves ~25 MB/s, so fetching vcap
-                # padding is real wall-clock (few distinct slice shapes
-                # keep the tiny slice programs cached)
-                t = min(vcap_i, _pow2_at_least(c, 4096))
-                parts.append(np.asarray(bufs[i][:t])[:c])
-        packed_rows = np.concatenate(parts) if parts else np.zeros((0, 4), np.int32)
+        if int(os.environ.get("SEQALIGN_ALIGN_TRACE", "0")):
+            import time as _time
+
+            t_p2 = _time.time()
+            print(
+                f"align trace: p2={t_p2 - self._trace_t_sort:.2f}s "
+                f"({len(cnts)} chunk launches)", file=sys.stderr, flush=True,
+            )
+            self._trace_t_p2 = t_p2
+        total = int(host_cnt.sum())
+        overflowed = any(
+            int(c) > bufs[i].shape[0] for i, c in enumerate(host_cnt)
+        )
+        ncol = bufs[0].shape[1]
+        if total and not overflowed and len(bufs) > 1:
+            # ONE device-side concat + ONE sliced fetch for the stage
+            max_vcap = max(b.shape[0] for b in bufs)
+            out_cap = _cap_at_least(total + max_vcap, 1 << 14)
+            packed_dev = _pack_valid_rows(
+                tuple(bufs), tuple(cnts), out_cap=out_cap
+            )
+            t = min(out_cap, _pow2_at_least(total, 4096))
+            packed_rows = np.asarray(packed_dev[:t])[:total]
+        else:
+            parts = []
+            for i, c in enumerate(host_cnt):
+                vcap_i = bufs[i].shape[0]
+                c = int(c)
+                if c == 0:
+                    continue
+                if c > vcap_i:  # rare: chunk's valid rows overflowed the cap
+                    run, bs_i = retries[i]
+                    printdb(
+                        f"align chunk {i}: {c} valid > vcap {vcap_i}; rerun"
+                    )
+                    vcap2 = min(bs_i, _pow2_at_least(c, 1 << 16))
+                    buf2, _ = run(vcap2)
+                    parts.append(np.asarray(buf2)[:c])
+                else:
+                    # fetch a pow2-tier slice, not the whole padded buffer
+                    t = min(vcap_i, _pow2_at_least(c, 4096))
+                    parts.append(np.asarray(bufs[i][:t])[:c])
+            packed_rows = (
+                np.concatenate(parts) if parts
+                else np.zeros((0, ncol), np.int32)
+            )
+        if int(os.environ.get("SEQALIGN_ALIGN_TRACE", "0")):
+            import time as _time
+
+            print(
+                f"align trace: fetch={_time.time() - self._trace_t_p2:.2f}s",
+                file=sys.stderr, flush=True,
+            )
         n_valid = int(packed_rows.shape[0])
         self.stats.n_valid = n_valid
         if n_valid == 0:
             return empty
+        if ncol == 2:  # unpack (lead<<16|trail), (bhg<<16|ahg)
+            w0 = packed_rows[:, 0]
+            w1 = packed_rows[:, 1]
+            return (
+                ((w0 >> 16) & 0xFFFF).astype(np.int32),
+                (w0 & 0xFFFF).astype(np.int32),
+                ((w1 << 16) >> 16).astype(np.int32),  # sign-extend ahg
+                (w1 >> 16).astype(np.int32),
+            )
         return (
             packed_rows[:, 0], packed_rows[:, 1],
             packed_rows[:, 2], packed_rows[:, 3],
