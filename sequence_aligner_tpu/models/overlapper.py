@@ -302,32 +302,89 @@ def _phase1_chunk(
     return jnp.where(live, a_len - fi, -1)
 
 
+@partial(jax.jit, static_argnames=("nb",))
+def _dlen_hist(dlen_all, *, nb: int):
+    """Counts of per-pair dove lengths (clipped to [-1, nb-2]; -1 marks
+    phase-1 duds).  One ~(la_max+2)*4-byte fetch feeds the adaptive tier
+    planner."""
+    v = jnp.clip(dlen_all, -1, nb - 2) + 1
+    return jnp.zeros((nb,), jnp.int32).at[v].add(1)
+
+
+def _plan_tiers(counts, lo0: int, la_max: int, *, batch: int = 1 << 20,
+                max_tiers: int = 5, over_rows: int = 31):
+    """Work-optimal contiguous partition of dove lengths (lo0, la_max]
+    into <= max_tiers (lo, hi] tiers.  A tier's real cost is its PADDED
+    pair count (pow2/chunk quantization of _bs_pblk) times
+    (hi + 1 + over_rows), where over_rows models the per-pair non-kernel
+    cost (operand gathers + dispatch, ~60 ms per 1M-pair launch at
+    2.3 ns/row-unit) — without the padding and overhead terms the
+    planner over-splits and loses to launch overhead.  Tier bounds are
+    quantized to multiples of 8 so the compiled phase-2 row-count
+    variants stay bounded across datasets.  Replaces the static thirds
+    tuned on c_ruddii: a dataset whose dove lengths skew or concentrate
+    no longer pays full rows in a fat top tier (VERDICT r4 #8).
+
+    Any partition is CORRECT (tier membership only selects which kernel
+    variant loops how many rows; emission is canonically re-sorted), so
+    the planner is free to optimize purely for work."""
+
+    def seg_n(a: int, b: int) -> int:  # pairs with dlen in (a, b]
+        return int(counts[a + 2 : b + 2].sum())
+
+    def padded(n: int) -> int:  # _bs_pblk chunk quantization
+        b = _pow2_at_least(min(batch, _pow2_at_least(n, 1024)), 128)
+        return ((n + b - 1) // b) * b
+
+    def cost(n: int, hi: int) -> int:
+        return padded(n) * (hi + 1 + over_rows) if n else 0
+
+    edges = [e for e in range(((lo0 // 8) + 1) * 8, la_max, 8) if e > lo0]
+    memo = {}
+
+    def solve(lo: int, k: int):
+        n_all = seg_n(lo, la_max)
+        if n_all == 0:
+            return 0, []
+        base = (cost(n_all, la_max), [(lo, la_max)])
+        if k == 1:
+            return base
+        key = (lo, k)
+        if key in memo:
+            return memo[key]
+        r = base
+        for e in edges:
+            if e <= lo:
+                continue
+            n1 = seg_n(lo, e)
+            c2, t2 = solve(e, k - 1)  # t2 empty <=> no pairs above e
+            c1 = cost(n1, e)
+            if c1 + c2 < r[0]:
+                r = (c1 + c2, ([(lo, e)] if n1 else []) + t2)
+        memo[key] = r
+        return r
+
+    _, tiers = solve(lo0, max_tiers)
+    return tuple(tiers) if tiers else ((lo0, la_max),)
+
+
 @jax.jit
-def _tier_order(dlen_all, bounds):
+def _tier_sort(dlen_all, skip_lo):
     """ONE unstable sort by dove length groups every phase-2 tier into a
     CONTIGUOUS slice of the position order (replacing one cumsum+scatter
-    compaction pass per tier over the full pair table).
-
-    bounds [T, 2] of (lo, hi] ranges.  Returns (pos_sorted [cap] int32 —
-    positions ordered by ascending dove length, duds/skips last via a
-    sentinel key —, counts [T], offsets [T] start of each tier's slice).
-    """
+    compaction pass per tier over the full pair table).  Positions come
+    out ordered by ascending dove length with duds and provably-invalid
+    short doves (<= skip_lo) last via a sentinel key.  Per-tier counts
+    and offsets come from the host-side histogram (_dlen_hist), so the
+    sort needs only the static skip bound and can be dispatched before
+    the histogram fetch — it runs on device while the host plans."""
     cap = dlen_all.shape[0]
-    skip_lo = bounds[0, 0]
-    key = jnp.where(
-        (dlen_all > skip_lo), dlen_all, jnp.int32(2**30)
-    )
+    key = jnp.where(dlen_all > skip_lo, dlen_all, jnp.int32(2**30))
     _, pos_s = jax.lax.sort(
         (key, jnp.arange(cap, dtype=jnp.int32)), num_keys=1,
         is_stable=False,
     )
-    d = dlen_all[None, :]
-    counts = jnp.sum(
-        ((d > bounds[:, 0:1]) & (d <= bounds[:, 1:2])).astype(jnp.int32),
-        axis=1,
-    )
-    offsets = jnp.cumsum(counts) - counts
-    return pos_s, counts, offsets
+    return pos_s
 
 
 @partial(
@@ -757,16 +814,27 @@ class Overlapper:
             # ONE dlen sort makes every tier a contiguous slice of the
             # position order — no per-tier compaction passes ----
             tiers = _dove_tiers(la_max, w, s.min_overlap, s.min_identity)
-            pos_s, tcnt_all, toff_all = _tier_order(
-                dlen_all, jnp.asarray(np.asarray(tiers, np.int32))
-            )
-            tcnt_hs = [int(x) for x in np.asarray(tcnt_all)]  # one fetch
-            if trace:  # the tcnt fetch synced phase 1 + the tier sort
+            lo0 = tiers[0][0]
+            # dispatch the dove-length sort NOW (it needs only the static
+            # provable-skip bound) so it runs while the host fetches the
+            # histogram and plans the tiers
+            pos_s = _tier_sort(dlen_all, jnp.int32(lo0))
+            # exact per-value histogram: ONE small fetch feeds both the
+            # adaptive tier planner and the per-tier counts/offsets (no
+            # device-side tier counting at all)
+            hist = np.asarray(_dlen_hist(dlen_all, nb=la_max + 2))
+            if len(tiers) > 1 and bool(
+                int(os.environ.get("SEQALIGN_ADAPTIVE_TIERS", "1"))
+            ):
+                tiers = _plan_tiers(hist, lo0, la_max, batch=self.batch_size)
+            tcnt_hs = [int(hist[a + 2 : b + 2].sum()) for a, b in tiers]
+            if trace:  # the hist fetch synced phase 1
                 self._trace_t_sort = _time.time()
                 print(
                     f"align trace w={w}: p1={t_p1 - t0:.2f}s "
-                    f"tier_sort={self._trace_t_sort - t_p1:.2f}s "
-                    f"tiers={tcnt_hs}", file=sys.stderr, flush=True,
+                    f"plan={self._trace_t_sort - t_p1:.2f}s "
+                    f"tiers={list(zip(tiers, tcnt_hs))}",
+                    file=sys.stderr, flush=True,
                 )
             toff_hs = list(np.cumsum([0] + tcnt_hs[:-1]))
             # pad so the last tier's chunk grid can never overrun (slots
