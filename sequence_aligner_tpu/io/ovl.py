@@ -62,16 +62,23 @@ def write_ovl_arrays(arrs, path: str | None = None) -> int:
 
         if ovl_write_native(path, lead, trail, ahg, bhg) is not None:
             return n
-    lines = [
-        f"{{OVL\nadj:N\nrds:{a},{b}\nscr:0\nahg:{h}\nbhg:{g}\n}}\n"
-        for a, b, h, g in zip(lead, trail, ahg, bhg)
-    ]
-    text = "".join(lines)
-    if path is None:
-        sys.stdout.write(text)
-    else:
-        with open(path, "w") as f:
-            f.write(text)
+    # chunked fallback: at 1M records one f-string per record plus the
+    # fully-joined text is hundreds of MB of transient host memory —
+    # stream fixed-size batches instead
+    out = sys.stdout if path is None else open(path, "w")
+    try:
+        chunk = 1 << 16
+        for lo in range(0, n, chunk):
+            out.writelines(
+                f"{{OVL\nadj:N\nrds:{a},{b}\nscr:0\nahg:{h}\nbhg:{g}\n}}\n"
+                for a, b, h, g in zip(
+                    lead[lo : lo + chunk], trail[lo : lo + chunk],
+                    ahg[lo : lo + chunk], bhg[lo : lo + chunk],
+                )
+            )
+    finally:
+        if path is not None:
+            out.close()
     return n
 
 

@@ -343,7 +343,9 @@ def plan_totals_device(occ_sorted, head_edge, tail_edge, mid_lead, mid_tail):
     mid_cnt = mid_pref_full[seg_r] - mid_pref_full[seg_l]
     h_hi, h_lo = _chunk_hi_lo_sums(jnp.where(is_head, mid_cnt, 0))
     t_hi, t_lo = _chunk_hi_lo_sums(jnp.where(is_tail, mid_cnt, 0))
-    return h_hi, h_lo, t_hi, t_lo
+    # ONE stacked array so the host pays a single fetch round trip (four
+    # separate np.asarray calls were ~4 tunnel RTTs of pure latency)
+    return jnp.stack([h_hi, h_lo, t_hi, t_lo])
 
 
 def plan_totals(occ_sorted, **geom) -> tuple[int, int]:
@@ -351,9 +353,8 @@ def plan_totals(occ_sorted, **geom) -> tuple[int, int]:
     precision — immune to the int32/x64 truncation of naive device sums)."""
     import numpy as np
 
-    h_hi, h_lo, t_hi, t_lo = (
-        np.asarray(x, dtype=np.int64)
-        for x in plan_totals_device(occ_sorted, **geom)
+    h_hi, h_lo, t_hi, t_lo = np.asarray(
+        plan_totals_device(occ_sorted, **geom), dtype=np.int64
     )
     h_total = (int(h_hi.sum()) << 15) + int(h_lo.sum())
     t_total = (int(t_hi.sum()) << 15) + int(t_lo.sum())
@@ -536,8 +537,8 @@ def _expand_chunk_jit(
             # collision diagonal pos_fst - pos_snd (packed fast path
             # only): feeds the optional diagonal-coherence prescreen
             pm = (1 << pb) - 1
-            pa, pb = a_pk & pm, b_pk & pm
-            diag = jnp.where(a_first, pa - pb, pb - pa)
+            pos_a, pos_b = a_pk & pm, b_pk & pm  # keep pb = field width
+            diag = jnp.where(a_first, pos_a - pos_b, pos_b - pos_a)
             return key, jnp.where(ok, diag, 0)
         return key
     # masked pair emission: invalid slots carry +inf in BOTH columns so
