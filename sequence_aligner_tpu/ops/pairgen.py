@@ -124,9 +124,15 @@ def _pos_bits(pack_den: int) -> int:
     return max(int(pack_den).bit_length(), 1)
 
 
-def _expand_class(occ_sorted, geom, which: str, cap: int, pack_den: int = 0):
+def _expand_class(
+    occ_sorted, geom, which: str, cap: int, pack_den: int = 0,
+    emit_key: bool = False,
+):
     """Hash-sorted occurrence table -> ONE edge class's flat ordered-pair
-    stream (fst, snd, ok, total) of static size ``cap``, pre-counting.
+    stream (fst, snd, ok, total) of static size ``cap``, pre-counting —
+    or, with ``emit_key`` (packed 16-bit-id regime), the sign-flipped
+    packed keys ((fst<<16)|snd)^SIGN directly (invalid slots _I32_MAX),
+    the operand the single-sort aggregation pipeline consumes.
     ``which`` selects the head-edge or tail-edge class
     (src/KmerTable.scala:118-128: head x middle and tail x middle).
 
@@ -217,6 +223,9 @@ def _expand_class(occ_sorted, geom, which: str, cap: int, pack_den: int = 0):
         ok &= a_id != b_id  # self pairs skipped (src/KmerTable.scala:61-63)
         fst = jnp.where(a_first, a_id, b_id)
         snd = jnp.where(a_first, b_id, a_id)
+        if emit_key:
+            key = jnp.where(ok, ((fst << 16) | snd) ^ _SIGN, _I32_MAX)
+            return key, total
         return fst, snd, ok, total
 
     return _expand(edge_mask, cap)
@@ -240,6 +249,22 @@ def expand_raw_pairs(
     snd = jnp.concatenate([h_snd, t_snd])
     ok = jnp.concatenate([h_ok, t_ok])
     return fst, snd, ok, h_total, t_total
+
+
+def expand_raw_keys(
+    occ_sorted, geom, cap_head: int, cap_tail: int, pack_den: int = 0
+):
+    """Both edge classes' streams as ONE sign-flipped packed-key array
+    [cap_head + cap_tail] (invalid slots _I32_MAX) plus the exact class
+    totals — the single-sort aggregation operand for the packed 16-bit-id
+    regime (the sharded pairs step's round-5 building block)."""
+    key_h, h_total = _expand_class(
+        occ_sorted, geom, "head", cap_head, pack_den, emit_key=True
+    )
+    key_t, t_total = _expand_class(
+        occ_sorted, geom, "tail", cap_tail, pack_den, emit_key=True
+    )
+    return jnp.concatenate([key_h, key_t]), h_total, t_total
 
 
 def aggregate_pairs(fst, snd, weight, ok):

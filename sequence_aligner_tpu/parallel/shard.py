@@ -14,27 +14,35 @@ previously one fused step):
   1. local k-mer extraction on this device's read block (ops.kmer);
   2. occurrences routed to ``hash % n_dev`` via ``lax.all_to_all`` with
      per-destination capacity bins (overflow counted, never silent);
-  3. complete per-hash occurrence groups -> raw ordered-pair expansion
-     (ops.pairgen.expand_raw_pairs);
-  4. LOCAL aggregation by ONE unstable sort — the packed sign-flipped
-     (fst<<16)|snd key when ids fit 16 bits, else a 2-key (fst, snd)
-     unstable sort — run-length counts, sort/scatter compaction (the
-     round-1 design's two stable 5-operand sorts are gone);
-  5. partial (pair, count) rows routed to ``hash(pair) % n_dev`` so each
-     pair's GLOBAL count lands on one owner — preserving the reference's
+  3. complete per-hash occurrence groups -> the single-device CHUNKED
+     exact expansion (ops.pairgen._expand_stream_chunked: table-sized
+     prep once, 3-gather packed slots, 2^25-slot pieces) emitting
+     sign-flipped packed keys directly in the 16-bit-id regime;
+  4. LOCAL aggregation by ONE unstable 1-key sort (2-key (fst, snd) for
+     general ids) + POSITIONAL run-length counts — no stream-sized
+     gathers (the round-5 port of the single-device _finish_core; the
+     round-4 per-slot formulation was 3.7x the single-device engine);
+  5. a 1-wide mesh stops here (local counts ARE global: band filter +
+     compaction, no self-routing); otherwise partial (pair, count) rows
+     are compacted and routed to ``hash(pair) % n_dev`` so each pair's
+     GLOBAL count lands on one owner — preserving the reference's
      global collision-band semantics under sharding;
-  6. owner sums partials by the same sort+run-length machinery, applies
-     the [min, max] collision band, and emits a COMPACTED canonical
+  6. owner sums partials by sort + run-weight machinery, applies the
+     [min, max] collision band, and emits a COMPACTED canonical
      (lead, trail) table plus its exact count.
 
 ``align step`` — compiled at a batch capacity the driver picks FROM the
 fetched per-device pair counts (a pow2/8 tier), so the DP runs over
 ~n_out pairs, not the generous cap_out padding:
-  7. owner fetches ONLY the read rows its candidate pairs touch, via a
-     request/response all-to-all against the id-sharded read blocks —
-     per-device traffic is O(cap_align * L), independent of total reads;
-  8. width-bucketed fused dovetail kernels (ops.align_fused) + masked
-     OVL field emission; host concatenates, filters, sorts canonically.
+  7. DEDUPLICATED read fetch: each device compacts the distinct read
+     ids its pairs touch (<= min(n_reads, 2*cap_align)) and fetches
+     each row ONCE via a request/response all-to-all against the
+     id-sharded read blocks; pairs gather operands from the fetched
+     table by rank (round 4 fetched full rows per PAIR — 29M requests
+     for 32k distinct reads on a 1-wide mesh);
+  8. width-bucketed fused dovetail kernels (ops.align_fused, packed-word
+     operands) + masked OVL field emission; host concatenates, filters,
+     sorts canonically.
 
 Every capacity has an explicit drop counter; the driver retries with ONLY
 the overflowed capacities doubled, recompiling ONLY the affected program.
@@ -53,7 +61,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from sequence_aligner_tpu.core.settings import AlignSettings
 from sequence_aligner_tpu.ops.kmer import kmer_scan
 from sequence_aligner_tpu.ops.pairgen import (
-    _I32_MAX, _SIGN, _compact_indices, expand_raw_pairs, sort_occurrences,
+    _I32_MAX, _SIGN, _compact_indices, _expand_stream_chunked,
+    sort_occurrences,
 )
 
 
@@ -114,39 +123,34 @@ def _run_sums(first, weight):
     return cw[nxt - 1] - ex[seg_l]
 
 
-def _agg_packed(key, weight, cap: int):
-    """(sign-flipped packed key, weight) -> per-distinct-key totals,
-    compacted to [cap] by ONE extra unstable sort.  Invalid rows carry
-    key == _I32_MAX.  Returns (key_c [cap], cnt_c [cap], n_runs)."""
-    key_s, w_s = jax.lax.sort((key, weight), num_keys=1, is_stable=False)
-    okv = key_s != _I32_MAX
-    first = okv & jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), key_s[1:] != key_s[:-1]]
-    )
-    tot = _run_sums(first, jnp.where(okv, w_s, 0))
-    n_runs = jnp.sum(first.astype(jnp.int32))
-    kmask = jnp.where(first, key_s, _I32_MAX)
-    key_c, cnt_c = jax.lax.sort(
-        (kmask, jnp.where(first, tot, 0)), num_keys=1, is_stable=False
-    )
-    return key_c[:cap], cnt_c[:cap], n_runs
-
-
 def _agg_general(fst, snd, weight, cap: int):
-    """General-id aggregation: 2-key unstable sort + run sums + scatter
-    compaction.  Invalid rows carry _I32_MAX in both columns.  Returns
-    (fst_c [cap], snd_c [cap], cnt_c [cap], n_runs)."""
-    f_s, s_s, w_s = jax.lax.sort(
-        (fst, snd, weight), num_keys=2, is_stable=False
-    )
+    """General-id aggregation: 2-key unstable sort + POSITIONAL run
+    lengths + scatter compaction.  Invalid rows carry _I32_MAX in both
+    columns.  ``weight`` must be all-ones over valid rows (raw collision
+    events) — run length IS the weight total, computed from the
+    run-boundary fills without the 2 stream-sized gathers the
+    general-weight _run_sums pays.  Returns (fst_c [cap], snd_c [cap],
+    cnt_c [cap], n_runs)."""
+    del weight  # ones by contract; counts come from run boundaries
+    f_s, s_s = jax.lax.sort((fst, snd), num_keys=2, is_stable=False)
     okv = f_s != _I32_MAX
-    first = okv & jnp.concatenate(
+    # UNMASKED boundaries for the fills (the first invalid slot bounds
+    # the last real run); the keep/compact mask applies okv
+    run_first = jnp.concatenate(
         [
             jnp.ones((1,), jnp.bool_),
             (f_s[1:] != f_s[:-1]) | (s_s[1:] != s_s[:-1]),
         ]
     )
-    tot = _run_sums(first, jnp.where(okv, w_s, 0))
+    first = okv & run_first
+    n = f_s.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seg_l = jax.lax.cummax(jnp.where(run_first, idx, 0))
+    nxt = jax.lax.cummin(jnp.where(run_first, idx, _I32_MAX), reverse=True)
+    nxt = jnp.minimum(
+        jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)]), n
+    )
+    tot = nxt - seg_l  # exact at run-start positions
     n_runs = jnp.sum(first.astype(jnp.int32))
     pos = jnp.cumsum(first.astype(jnp.int32)) - 1
     slot = jnp.where(first, jnp.minimum(pos, cap), cap)
@@ -340,42 +344,133 @@ def make_sharded_pairs_step(
 
         # ---- 3. raw pair expansion on complete hash groups ----
         # pack_den > 0: uniform-read-length packed-position expansion
-        # (3 gathers/slot instead of 6 — ops.pairgen._expand_class)
-        fst, snd, ok, h_tot, t_tot = expand_raw_pairs(
-            sort_occurrences(occ2), geom, cap_head, cap_tail, pack_den
-        )
+        # (3 gathers/slot instead of 6 — ops.pairgen._expand_class).
+        # Packed-id regime: the expansion emits sign-flipped packed KEYS
+        # directly and local aggregation is ONE unstable 1-key sort +
+        # run-length fills — the single-device engine's design
+        # (ops.pairgen._finish_core) ported inside shard_map; the
+        # round-4 form (pair columns + two 2-operand sorts) paid ~3x the
+        # sort volume per padded slot.
+        occ_sorted = sort_occurrences(occ2)
+        if stop_after == "occsort":
+            return _sink(occ_sorted["hash"], occ_sorted["read_id"])
+        # the single-device chunked expansion (prep once, 3-gather packed
+        # slots, 2^25-slot pieces bounding the working set) — the nested
+        # jits inline into the shard_map program; the one-piece
+        # _expand_class form measured 3.5x slower at 42M-slot caps
+        if packed:
+            key_h, h_tot = _expand_stream_chunked(
+                occ_sorted, geom, cap=cap_head, pack_den=pack_den,
+                which="head", emit_key=True,
+            )
+            key_t, t_tot = _expand_stream_chunked(
+                occ_sorted, geom, cap=cap_tail, pack_den=pack_den,
+                which="tail", emit_key=True,
+            )
+            key_raw = jnp.concatenate([key_h, key_t])
+        else:
+            h_fst, h_snd, h_tot = _expand_stream_chunked(
+                occ_sorted, geom, cap=cap_head, pack_den=pack_den,
+                which="head", emit_key=False,
+            )
+            t_fst, t_snd, t_tot = _expand_stream_chunked(
+                occ_sorted, geom, cap=cap_tail, pack_den=pack_den,
+                which="tail", emit_key=False,
+            )
+            fstm = jnp.concatenate([h_fst, t_fst])
+            sndm = jnp.concatenate([h_snd, t_snd])
+        if stop_after == "expand":
+            return _sink(key_raw if packed else fstm, h_tot[None])
         pair_overflow = ((h_tot > cap_head) | (t_tot > cap_tail)).astype(jnp.int32)
 
-        # ---- 4. local aggregation + pair-key all-to-all ----
-        ones = jnp.ones_like(fst)
+        # ---- 4. local aggregation ----
         if packed:
-            key = jnp.where(ok, ((fst << 16) | snd) ^ _SIGN, _I32_MAX)
-            lkey, lcnt, n_agg = _agg_packed(key, ones, cap_agg)
+            key_s = jax.lax.sort((key_raw,), num_keys=1, is_stable=False)[0]
+            if stop_after == "aggsort":
+                return _sink(key_s)
+            okv = key_s != _I32_MAX
+            # POSITIONAL run lengths (nxt - seg_l run-boundary fills, the
+            # single-device _run_length_keep design): raw events all
+            # weigh 1, so counting needs NO stream-sized gathers — the
+            # general-weight _run_sums gathers the cumsum at both run
+            # ends, 2 x 84M random gathers that dominated the round-5
+            # first cut of this step.  The fills use UNMASKED run
+            # boundaries: the first invalid (_I32_MAX) slot must bound
+            # the last real run, or its count absorbs the padding and
+            # max_collisions drops it.
+            run_first = jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), key_s[1:] != key_s[:-1]]
+            )
+            first = okv & run_first
+            nloc = key_s.shape[0]
+            iloc = jnp.arange(nloc, dtype=jnp.int32)
+            seg_l = jax.lax.cummax(jnp.where(run_first, iloc, 0))
+            nxt = jax.lax.cummin(
+                jnp.where(run_first, iloc, _I32_MAX), reverse=True
+            )
+            nxt = jnp.minimum(
+                jnp.concatenate([nxt[1:], jnp.full((1,), nloc, jnp.int32)]),
+                nloc,
+            )
+            cnt = nxt - seg_l  # exact at run-start positions
+            n_agg = jnp.sum(first.astype(jnp.int32))
+            if n_dev == 1:
+                # a 1-wide mesh owns every pair: local counts ARE global
+                # — apply the collision band and compact directly, no
+                # pair-key all-to-all, no second aggregation
+                keep = first & (min_c <= cnt) & (cnt <= max_c)
+                n_out = jnp.sum(keep.astype(jnp.int32))
+                kmask = jnp.where(keep, key_s, _I32_MAX)
+                key_c = jax.lax.sort((kmask,), num_keys=1, is_stable=False)[0]
+                slot_ok = key_c[:cap_out] != _I32_MAX
+                ukc = jnp.where(slot_ok, key_c[:cap_out] ^ _SIGN, 0)
+                lead = (ukc >> 16) & 0xFFFF
+                trail = ukc & 0xFFFF
+                drops = jnp.stack([
+                    drop_kmer, pair_overflow, jnp.int32(0),
+                    jnp.maximum(n_out - cap_out, 0),
+                ])
+                return lead, trail, n_out[None], drops[None, :]
+            # compact local (key, partial count) rows for the pair-key
+            # all-to-all: one 2-operand unstable sort
+            kmask = jnp.where(first, key_s, _I32_MAX)
+            key_cc, cnt_cc = jax.lax.sort(
+                (kmask, jnp.where(first, cnt, 0)), num_keys=1,
+                is_stable=False,
+            )
+            lkey = key_cc[:cap_agg]
+            lcnt = cnt_cc[:cap_agg]
             l_ok = lkey != _I32_MAX
             uk = jnp.where(l_ok, lkey ^ _SIGN, 0)
             lfst = (uk >> 16) & 0xFFFF
             lsnd = uk & 0xFFFF
         else:
-            fstm = jnp.where(ok, fst, _I32_MAX)
-            sndm = jnp.where(ok, snd, _I32_MAX)
+            # invalid slots already carry _I32_MAX in both columns
+            ones = jnp.ones_like(fstm)
             lfst, lsnd, lcnt, n_agg = _agg_general(fstm, sndm, ones, cap_agg)
             l_ok = lfst > 0
         agg_overflow = jnp.maximum(n_agg - cap_agg, 0)
-        ptgt = (
-            (lfst.astype(jnp.uint32) * jnp.uint32(2654435761)
-             ^ lsnd.astype(jnp.uint32)) % jnp.uint32(n_dev)
-        ).astype(jnp.int32)
-        pbins, drop_pairs = _route(
-            dict(fst=lfst, snd=lsnd, cnt=lcnt),
-            ptgt, l_ok, n_dev, cap_pair_route,
-        )
-        precv = _exchange(pbins, axis)
+        if n_dev == 1 and not packed:
+            # as above: skip the self-routing; feed the local partials
+            # straight into the band filter + compaction below
+            gfst, gsnd, gcntw, gok = lfst, lsnd, lcnt, l_ok
+            drop_pairs = jnp.int32(0)
+        else:
+            ptgt = (
+                (lfst.astype(jnp.uint32) * jnp.uint32(2654435761)
+                 ^ lsnd.astype(jnp.uint32)) % jnp.uint32(n_dev)
+            ).astype(jnp.int32)
+            pbins, drop_pairs = _route(
+                dict(fst=lfst, snd=lsnd, cnt=lcnt),
+                ptgt, l_ok, n_dev, cap_pair_route,
+            )
+            precv = _exchange(pbins, axis)
 
-        # ---- 5. owner-side global count + band filter + compaction ----
-        gfst = precv["fst"].reshape(-1)
-        gsnd = precv["snd"].reshape(-1)
-        gcntw = precv["cnt"].reshape(-1)
-        gok = precv["_sent"].reshape(-1)
+            # ---- 5. owner-side global count + band filter + compaction ----
+            gfst = precv["fst"].reshape(-1)
+            gsnd = precv["snd"].reshape(-1)
+            gcntw = precv["cnt"].reshape(-1)
+            gok = precv["_sent"].reshape(-1)
         if packed:
             gkey = jnp.where(gok, ((gfst << 16) | gsnd) ^ _SIGN, _I32_MAX)
             key_s, w_s = jax.lax.sort((gkey, gcntw), num_keys=1, is_stable=False)
@@ -438,6 +533,8 @@ def make_sharded_align_step(
     cap_align: int,
     cap_fetch: int | None = None,
     cap_width: tuple[int, ...] | None = None,
+    cap_uniq: int | None = None,
+    n_reads: int | None = None,
     axis: str = "shard",
     stop_after: str | None = None,
 ):
@@ -448,19 +545,30 @@ def make_sharded_align_step(
     a pow2/8 tier over the FETCHED pair counts, so DP work tracks the
     real candidate volume instead of the pairs table's capacity padding.
 
-    Returns fn(bases, lengths, lead [n_dev * cap_pairs], trail) ->
+    The read fetch is DEDUPLICATED (round-5 redesign): each device marks
+    the read ids its pairs touch, compacts them to a unique request list
+    (<= min(n_reads, 2*cap_align)), fetches each row ONCE via the
+    request/response all-to-all, and its pairs gather operands from the
+    fetched table by rank.  The round-4 per-pair fetch moved
+    2*cap_align full rows per device — 29M requests for 32k distinct
+    reads on a 1-wide mesh, 3.8 s of pure gather/route traffic.
+
+    Returns fn(bases, lengths, lead [n_dev * cap_pairs], trail, lo) ->
     (valid, lead, trail, ahg, bhg, drops [n_dev, 3]) with [n_dev *
     cap_align] OVL fields.  stop_after ∈ {"fetch", None}.
     """
     n_dev = mesh.shape[axis]
     if cap_width is None:
         cap_width = tuple(cap_align for _ in widths)
+    if cap_uniq is None:
+        cap_uniq = _tier(min(
+            n_reads + n_dev if n_reads else 2 * cap_align,
+            2 * cap_align,
+        ))
     if cap_fetch is None:
-        # per-DESTINATION request bin: 2*cap_align requests spread over
-        # n_dev id-owners (ids are uniform across blocks); 2x slack.
-        # Sizing it at cap_align would make the bins n_dev x larger than
-        # the traffic and blow HBM at pod scale.
-        cap_fetch = _tier(max(4 * cap_align // max(n_dev, 1), 1024))
+        # per-DESTINATION request bin: <= cap_uniq unique requests spread
+        # over n_dev id-owners (ids are uniform across blocks); 2x slack
+        cap_fetch = _tier(max(2 * cap_uniq // max(n_dev, 1), 1024))
     wtab = jnp.asarray(
         [s.band_width(l) for l in range(la_max + 1)], np.int32
     )
@@ -470,36 +578,63 @@ def make_sharded_align_step(
         min_identity=jnp.float32(s.min_identity),
         min_overlap=jnp.int32(s.min_overlap),
         max_ignore=jnp.int32(s.max_ignore),
-        la_max=la_max, lb_max=la_max,
     )
 
-    def _align_bucketed(out_valid, a_rows, a_lens, b_rows, b_lens):
+    def _pblk(n: int) -> int:
+        for p in (1024, 512, 256, 128):
+            if n % p == 0:
+                return p
+        return 1
+
+    def _fused_on(rows, packed_tab, lens, a_rk, b_rk, w: int, n: int):
+        """Fused dovetail over ``n`` pairs whose operands live in the
+        deduplicated read table (rank arrays a_rk/b_rk): TPU path gathers
+        only the packed words; interpret/CPU path gathers code planes —
+        mirrors the single-device engine's _align_chunk_body."""
+        from sequence_aligner_tpu.ops.align_fused import (
+            _dove_shift_packed, _fused_core, _fused_core_packed,
+            _interpret, kernel_interpret,
+        )
+
+        kw = dict(
+            la_max=la_max, lb_max=la_max, width=int(w), pblk=_pblk(n),
+            **_align_kw,
+        )
+        if not _interpret():
+            return _fused_core_packed(
+                packed_tab[a_rk].T, packed_tab[b_rk].T,
+                lens[a_rk], lens[b_rk],
+                interpret=kernel_interpret(), **kw,
+            )
+        a_t = rows[a_rk].astype(jnp.int32).T
+        b_t = rows[b_rk].astype(jnp.int32).T
+        return _fused_core(
+            a_t, b_t, lens[a_rk], lens[b_rk],
+            lambda ds: _dove_shift_packed(packed_tab, a_rk, ds, la_max),
+            **kw,
+        )
+
+    def _align_bucketed(out_valid, rows, packed_tab, lens, a_rk, b_rk):
         """Width-bucketed alignment: pairs are compacted per band width
         and each width's fused pass runs over ONLY its own bucket
         ([cap_width[i]]), results scattered back to the [cap_align] table.
         Returns (res fields dict, bucket-overflow drop count).  A single
         width skips the bucketing entirely."""
-        from sequence_aligner_tpu.ops.align_fused import (
-            fast_dovetail_batch_fused,
-        )
-
         if len(widths) == 1:
-            res = fast_dovetail_batch_fused(
-                a_rows, a_lens, b_rows, b_lens,
-                width=int(widths[0]), **_align_kw,
+            res = _fused_on(
+                rows, packed_tab, lens, a_rk, b_rk, widths[0], cap_align
             )
             return res, jnp.int32(0)
 
-        pw = wtab[jnp.clip(a_lens, 0, la_max)]
+        pw = wtab[jnp.clip(lens[a_rk], 0, la_max)]
         res = None
         drop_w = jnp.int32(0)
         for w, cw in zip(widths, cap_width):
             mask = out_valid & (pw == w)
             rows_idx, _, total = _compact_indices(mask, cap=cw)
-            r = fast_dovetail_batch_fused(
-                a_rows[rows_idx], a_lens[rows_idx],
-                b_rows[rows_idx], b_lens[rows_idx],
-                width=int(w), **_align_kw,
+            r = _fused_on(
+                rows, packed_tab, lens,
+                a_rk[rows_idx], b_rk[rows_idx], w, cw,
             )
             # scatter this bucket's results back; slots past the bucket's
             # fill go to the waste row so they can't clobber pair 0
@@ -524,7 +659,10 @@ def make_sharded_align_step(
         return acc[None]
 
     def step(bases, lengths, lead_full, trail_full, lo):
+        from sequence_aligner_tpu.ops.align_fused import pack_reads_le
+
         n_local = bases.shape[0]
+        n_global = n_local * n_dev
         cap_pairs = lead_full.shape[0]
         if cap_pairs >= cap_align:
             # window [lo, lo + cap_align) of this device's pair table —
@@ -544,17 +682,33 @@ def make_sharded_align_step(
             trunc = jnp.int32(0)
         out_valid = lead > 0
 
-        # ---- fetch ONLY the needed read rows ----
-        need = jnp.concatenate([lead, trail])
-        rows, lens, drop_req = _fetch_read_rows(
-            need, bases, lengths, n_local, n_dev, axis, cap_req=cap_fetch,
+        # ---- deduplicated read fetch: mark needed ids, compact to a
+        # unique request list, fetch each row ONCE ----
+        nb = (
+            jnp.zeros((n_global + 1,), jnp.int32)
+            .at[jnp.clip(lead, 0, n_global)].max(1)
+            .at[jnp.clip(trail, 0, n_global)].max(1)
         )
-        a_rows, b_rows = rows[:cap_align], rows[cap_align:]
-        a_lens, b_lens = lens[:cap_align], lens[cap_align:]
+        uniq_rows, rank, n_uniq = _compact_indices(nb[1:] == 1, cap=cap_uniq)
+        slot_ok = jnp.arange(cap_uniq, dtype=jnp.int32) < n_uniq
+        req_ids = jnp.where(slot_ok, uniq_rows + 1, 0)
+        rows, lens, drop_req = _fetch_read_rows(
+            req_ids, bases, lengths, n_local, n_dev, axis, cap_req=cap_fetch,
+        )
+        drop_req = drop_req + jnp.maximum(n_uniq - cap_uniq, 0)
+        # rank[i] = table row of read id i+1 (exclusive prefix of the
+        # need mask); invalid pairs land on row 0 and are masked later
+        a_rk = jnp.clip(
+            rank[jnp.clip(lead - 1, 0, n_global - 1)], 0, cap_uniq - 1
+        )
+        b_rk = jnp.clip(
+            rank[jnp.clip(trail - 1, 0, n_global - 1)], 0, cap_uniq - 1
+        )
         if stop_after == "fetch":
-            return _sink(a_rows, b_rows, a_lens, b_lens)
+            return _sink(rows, lens, a_rk, b_rk)
+        packed_tab = pack_reads_le(rows)
         res, drop_width = _align_bucketed(
-            out_valid, a_rows, a_lens, b_rows, b_lens
+            out_valid, rows, packed_tab, lens, a_rk, b_rk
         )
         valid = res["valid"] & out_valid
         drops = jnp.stack([trunc, drop_req, drop_width])
@@ -592,7 +746,7 @@ _PAIR_DROP_CAPS = (
     ("cap_agg",), ("cap_out",),
 )
 # align-step drop-counter index -> capacities to double on retry
-_ALIGN_DROP_CAPS = (("cap_align",), ("cap_fetch",), ("cap_width",))
+_ALIGN_DROP_CAPS = (("cap_align",), ("cap_fetch", "cap_uniq"), ("cap_width",))
 
 
 def sharded_overlap(
@@ -683,8 +837,11 @@ def sharded_overlap(
         tot = to_host(plan_step(bases_d, lengths_d, ids_d)).reshape(-1, 2)
         h_max = float(tot[:, 0].max()) if tot.size else 0.0
         t_max = float(tot[:, 1].max()) if tot.size else 0.0
-        caps.setdefault("cap_head", _tier(int(1.25 * h_max) + 1024))
-        caps.setdefault("cap_tail", _tier(int(1.25 * t_max) + 1024))
+        # totals are float32-exact to ~2^24; 2% covers the rounding and
+        # the pow2/8 tier adds <= 12.5% — every padded slot costs real
+        # sort/scan time (the round-4 25% slack was a third of the step)
+        caps.setdefault("cap_head", _tier(int(1.02 * h_max) + 1024))
+        caps.setdefault("cap_tail", _tier(int(1.02 * t_max) + 1024))
         raw_dev = caps["cap_head"] + caps["cap_tail"]
         # local distinct pairs <= raw events; owner-side kept pairs carry
         # >= min_collisions events each
@@ -727,7 +884,10 @@ def sharded_overlap(
     # ---- align program at a tier sized from the REAL pair counts ----
     caps.setdefault("cap_align", _tier(int(n_out.max()) if n_out.size else 0))
     caps.setdefault(
-        "cap_fetch", _tier(max(4 * caps["cap_align"] // n_dev, 1024))
+        "cap_uniq", _tier(min(n + n_dev, 2 * caps["cap_align"]))
+    )
+    caps.setdefault(
+        "cap_fetch", _tier(max(2 * caps["cap_uniq"] // n_dev, 1024))
     )
     if len(widths) > 1 and "cap_width" not in caps:
         # initial per-width bucket capacity ~ the width class's share of
@@ -749,7 +909,8 @@ def sharded_overlap(
         align_step = make_sharded_align_step(
             mesh, s, la_max=l, widths=widths,
             cap_align=caps["cap_align"], cap_fetch=caps["cap_fetch"],
-            cap_width=caps.get("cap_width"),
+            cap_width=caps.get("cap_width"), cap_uniq=caps["cap_uniq"],
+            n_reads=n,
         )
         outs = []
         adrops_tot = np.zeros(3, np.int64)

@@ -107,8 +107,8 @@ def main():
     # capacity plan from measured per-device totals (as the driver does)
     plan_step = make_sharded_plan_step(mesh, s, cap_route=caps["cap_route"])
     tot = np.asarray(plan_step(bases_d, lengths_d, ids_d)).reshape(-1, 2)
-    caps["cap_head"] = _tier(int(1.25 * tot[:, 0].max()) + 1024)
-    caps["cap_tail"] = _tier(int(1.25 * tot[:, 1].max()) + 1024)
+    caps["cap_head"] = _tier(int(1.02 * tot[:, 0].max()) + 1024)
+    caps["cap_tail"] = _tier(int(1.02 * tot[:, 1].max()) + 1024)
     raw_dev = caps["cap_head"] + caps["cap_tail"]
     caps["cap_agg"] = _tier(raw_dev // 2)
     caps["cap_pair_route"] = min(
@@ -160,7 +160,7 @@ def main():
     # ---- align program at the production tier ----
     cap_align = _tier(int(n_out.max()))
     log(f"n_out per device: {n_out.tolist()} -> cap_align {cap_align}")
-    ak = dict(la_max=l, widths=widths, cap_align=cap_align)
+    ak = dict(la_max=l, widths=widths, cap_align=cap_align, n_reads=n + pad)
     t_fetch, _ = timed(
         "align[fetch]",
         lambda: make_sharded_align_step(mesh, s, stop_after="fetch", **ak),
