@@ -111,13 +111,21 @@ def _align_chunk_body(
     bases, lengths, packed, lead, trail, idx, lo, count, *,
     bs: int, width: int, la_max: int, cm_tuple, gO: int, gE: int,
     min_identity, min_overlap, max_ignore, pblk: int, kernel: str,
+    ident_idx: bool = False,
 ):
     """Shared chunk body: gather pair operands from the device-resident
     pair table via the bucket index array and run the selected aligner.
+    ``ident_idx`` marks the bucket index as the identity permutation
+    (single band width): the pair table is then dynamic-sliced directly,
+    skipping 3 chunk-sized gathers (``idx`` may be a dummy).
     Returns (res dict, lead_c, trail_c, in_range)."""
-    sel = jax.lax.dynamic_slice(idx, (lo,), (bs,))
-    lead_c = lead[sel]
-    trail_c = trail[sel]
+    if ident_idx:
+        lead_c = jax.lax.dynamic_slice(lead, (lo,), (bs,))
+        trail_c = jax.lax.dynamic_slice(trail, (lo,), (bs,))
+    else:
+        sel = jax.lax.dynamic_slice(idx, (lo,), (bs,))
+        lead_c = lead[sel]
+        trail_c = trail[sel]
     a_idx = jnp.clip(lead_c - 1, 0, bases.shape[0] - 1)
     b_idx = jnp.clip(trail_c - 1, 0, bases.shape[0] - 1)
     kw = dict(
@@ -186,39 +194,62 @@ def _align_chunk(
     ).T
 
 
+def _compact_valid_sort(valid, cols, vcap: int):
+    """Valid-row compaction BY SORT, not scatter: a [14.7M, 2] row
+    scatter measured 1.3 s on this chip while the equivalent unstable
+    multi-operand sort is ~0.15 s (the same finding that shaped the
+    pairgen finish).  Rows sort by (valid ? position : +inf), packing
+    valid rows to the front in original order; slots past the count
+    carry sunken garbage that callers never read (count-sliced fetches /
+    offset-overwritten concat).  Returns ([vcap, ncol], count)."""
+    bs = valid.shape[0]
+    keyv = jnp.where(
+        valid, jnp.arange(bs, dtype=jnp.int32), jnp.int32(2**31 - 1)
+    )
+    ops = jax.lax.sort(
+        (keyv, *(cols[:, i] for i in range(cols.shape[1]))),
+        num_keys=1, is_stable=False,
+    )
+    buf = jnp.stack(ops[1:], axis=1)[:vcap]
+    return buf, jnp.sum(valid.astype(jnp.int32))
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "bs", "width", "la_max", "cm_tuple", "gO", "gE", "pblk", "kernel",
-        "vcap",
+        "vcap", "pack_out", "ident_idx",
     ),
 )
 def _align_chunk_compact(
     bases, lengths, packed, lead, trail, idx, lo, count, *,
     bs: int, width: int, la_max: int, cm_tuple, gO: int, gE: int,
     min_identity, min_overlap, max_ignore, pblk: int, kernel: str,
-    vcap: int,
+    vcap: int, pack_out: bool = False, ident_idx: bool = False,
 ):
     """Production chunk: per-chunk VALID-row compaction on device.
 
     Returns ([vcap, 4] int32 of (lead, trail, ahg, bhg) for the chunk's
-    valid overlaps, count).  Only ~3% of pairs validate, so this shrinks
-    the align stage's device->host traffic and eliminates the
+    valid overlaps, count) — 2-int32 packed rows with ``pack_out``, as
+    in _phase2_chunk_compact.  Only ~3% of pairs validate, so this
+    shrinks the align stage's device->host traffic and eliminates the
     [n_pairs, 12] stacked intermediate entirely (667 MB at 13.9M pairs)."""
     res, lead_c, trail_c, in_range = _align_chunk_body(
         bases, lengths, packed, lead, trail, idx, lo, count,
         bs=bs, width=width, la_max=la_max, cm_tuple=cm_tuple, gO=gO, gE=gE,
         min_identity=min_identity, min_overlap=min_overlap,
         max_ignore=max_ignore, pblk=pblk, kernel=kernel,
+        ident_idx=ident_idx,
     )
     valid = res["valid"] & in_range
-    cols4 = jnp.stack([lead_c, trail_c, res["ahg"], res["bhg"]], axis=1)
-    incl = jnp.cumsum(valid.astype(jnp.int32))
-    slot = jnp.where(valid, incl - 1, vcap)
-    buf = jnp.zeros((vcap + 1, 4), jnp.int32).at[slot].set(
-        jnp.where(valid[:, None], cols4, 0)
-    )
-    return buf[:vcap], incl[bs - 1]
+    if pack_out:
+        cols4 = jnp.stack(
+            [(lead_c << 16) | trail_c,
+             (res["bhg"] << 16) | (res["ahg"] & 0xFFFF)], axis=1
+        )
+    else:
+        cols4 = jnp.stack([lead_c, trail_c, res["ahg"], res["bhg"]], axis=1)
+    return _compact_valid_sort(valid, cols4, vcap)
 
 
 def _dove_tiers(
@@ -251,27 +282,34 @@ def _dove_tiers(
     jax.jit,
     static_argnames=(
         "bs", "width", "la_max", "cm_tuple", "gO", "gE", "pblk", "ulen",
+        "ident_idx",
     ),
 )
 def _phase1_chunk(
     bases, lengths, packed, lead, trail, idx, lo, count, *,
     bs: int, width: int, la_max: int, cm_tuple, gO: int, gE: int, pblk: int,
-    ulen: int = 0,
+    ulen: int = 0, ident_idx: bool = False,
 ):
     """Split-align pass A: phase-1 anchoring only.  Returns the chunk's
     per-pair dove lengths [bs] int32 with -1 marking DUD pairs (phase-1
     backtrack fails to reach B column 0, src/BioLibs.scala:464-466).
     Duds can never validate, so phase 2 — the costlier kernel — never
-    sees them (~54% of candidates on the c_ruddii bench)."""
+    sees them (~54% of candidates on the c_ruddii bench).  ``ident_idx``
+    slices the pair table directly (single band width)."""
     from sequence_aligner_tpu.ops.align_fused import (
         _interpret, _phase1_fused_scan, kernel_interpret,
         phase1_fused_packed,
     )
 
-    sel = jax.lax.dynamic_slice(idx, (lo,), (bs,))
-    lead_c = lead[sel]
+    if ident_idx:
+        lead_c = jax.lax.dynamic_slice(lead, (lo,), (bs,))
+        trail_c = jax.lax.dynamic_slice(trail, (lo,), (bs,))
+    else:
+        sel = jax.lax.dynamic_slice(idx, (lo,), (bs,))
+        lead_c = lead[sel]
+        trail_c = trail[sel]
     a_idx = jnp.clip(lead_c - 1, 0, bases.shape[0] - 1)
-    b_idx = jnp.clip(trail[sel] - 1, 0, bases.shape[0] - 1)
+    b_idx = jnp.clip(trail_c - 1, 0, bases.shape[0] - 1)
     if ulen:  # uniform read length: skip ~2 scalar-gather streams
         a_len = b_len = jnp.full((bs,), ulen, jnp.int32)
     else:
@@ -395,7 +433,7 @@ def _tier_sort(dlen_all, skip_lo):
     jax.jit,
     static_argnames=(
         "bs", "width", "rows", "cm_tuple", "gO", "gE", "pblk", "vcap",
-        "ulen", "pack_out",
+        "ulen", "pack_out", "ident_idx",
     ),
 )
 def _phase2_chunk_compact(
@@ -403,7 +441,7 @@ def _phase2_chunk_compact(
     count, *,
     bs: int, width: int, rows: int, cm_tuple, gO: int, gE: int,
     min_identity, min_overlap, max_ignore, pblk: int, vcap: int,
-    ulen: int = 0, pack_out: bool = False,
+    ulen: int = 0, pack_out: bool = False, ident_idx: bool = False,
 ):
     """Split-align pass B: phase 2 + validity over one dove-length tier's
     chunk, DP looping only ``rows`` rows (>= every dove length in the
@@ -419,7 +457,7 @@ def _phase2_chunk_compact(
     )
 
     sel = jax.lax.dynamic_slice(tier_idx, (lo,), (bs,))
-    pos = idx[sel]
+    pos = sel if ident_idx else idx[sel]
     dlen = dlen_all[sel]
     lead_c = lead[pos]
     trail_c = trail[pos]
@@ -487,13 +525,7 @@ def _phase2_chunk_compact(
         )
     else:
         cols4 = jnp.stack([lead_c, trail_c, ahg, bhg], axis=1)
-    ncol = cols4.shape[1]
-    incl = jnp.cumsum(valid.astype(jnp.int32))
-    slot = jnp.where(valid, incl - 1, vcap)
-    buf = jnp.zeros((vcap + 1, ncol), jnp.int32).at[slot].set(
-        jnp.where(valid[:, None], cols4, 0)
-    )
-    return buf[:vcap], incl[bs - 1]
+    return _compact_valid_sort(valid, cols4, vcap)
 
 
 @partial(jax.jit, static_argnames=("out_cap",))
@@ -768,9 +800,24 @@ class Overlapper:
                 )
             return ix
 
+        # single band width => the bucket index is the identity: chunks
+        # dynamic-slice the pair table directly, skipping 3 chunk-sized
+        # gathers (measured 0.7 s at 14.7M pairs)
+        ident = kernel == "fused" and len(widths) == 1
+
+        def _pad_tab(arr, need):
+            if need > int(arr.shape[0]):
+                arr = jnp.concatenate(
+                    [arr, jnp.zeros((need - int(arr.shape[0]),), jnp.int32)]
+                )
+            return arr
+
         for w in widths:
             if kernel == "quad":  # full SW has no band: one bucket of all
                 idx = jnp.arange(lead_dev.shape[0], dtype=jnp.int32)
+                cnt = jnp.int32(n_pairs)
+            elif ident:
+                idx = jnp.zeros((1,), jnp.int32)  # unread dummy
                 cnt = jnp.int32(n_pairs)
             else:
                 idx, cnt = _bucket_indices(
@@ -780,7 +827,12 @@ class Overlapper:
             if cnt_h == 0:
                 continue
             bs, pblk = _bs_pblk(cnt_h)
-            idx = _pad_idx(idx, cnt_h, bs)
+            if ident:
+                grid_need = ((cnt_h + bs - 1) // bs) * bs
+                lead_dev = _pad_tab(lead_dev, grid_need)
+                trail_dev = _pad_tab(trail_dev, grid_need)
+            else:
+                idx = _pad_idx(idx, cnt_h, bs)
             if kernel == "quad":
                 # full-capacity valid buffer (see the fused arm note:
                 # fetches are count-sliced, so overflow retries are gone)
@@ -799,6 +851,46 @@ class Overlapper:
                     retries.append((runq, bs))
                 continue
 
+            # ---- optional monolithic both-phase single launch
+            # (SEQALIGN_ALIGN_MONO=1; the sharded align step's shape).
+            # With the sort-based compaction and identity-index slicing
+            # in place the split-phase path wins again (32k interleaved
+            # A/B: split 3.95-4.16 s total vs mono 4.48-4.69 s — the
+            # ~36% tier/dud cell cut beats the extra launches), so the
+            # split path is the default; mono remains the A/B surface
+            # that exposed the 1.3 s scatter-compaction cost. ----
+            mono = bool(int(os.environ.get("SEQALIGN_ALIGN_MONO", "0")))
+            if mono and cnt_h <= (1 << 25):
+                bsm = max(_cap_at_least(cnt_h, 1024), 128)
+                pblkm = next(
+                    p for p in (1024, 512, 256, 128) if bsm % p == 0
+                )
+                if ident:
+                    lead_dev = _pad_tab(lead_dev, bsm)
+                    trail_dev = _pad_tab(trail_dev, bsm)
+                else:
+                    idx = _pad_idx(idx, bsm, bsm)
+
+                def runm(
+                    v, _i=idx, _l=lead_dev, _t=trail_dev, _c=cnt, _b=bsm,
+                    _w=w, _p=pblkm,
+                ):
+                    return _align_chunk_compact(
+                        bases_d, lengths_d, packed_d, _l, _t,
+                        _i, jnp.int32(0), _c, bs=_b, width=_w, pblk=_p,
+                        vcap=v, pack_out=pack_out, ident_idx=ident, **kw,
+                    )
+
+                buf, cnt_c = runm(bsm)
+                bufs.append(buf)
+                cnts.append(cnt_c)
+                retries.append((runm, bsm))
+                cells = 2 * cnt_h * (la_max + 1) * (w + 1)
+                self.stats.dp_cells += cells
+                self.stats.dp_cells_raw += cells
+                self.stats.n_phase2_pairs += cnt_h
+                continue
+
             # ---- fused: split phases.  Pass A: phase 1 everywhere (~54%
             # of candidates dud there and never reach phase 2, the
             # costlier kernel) ----
@@ -814,7 +906,7 @@ class Overlapper:
                 _phase1_chunk(
                     bases_d, lengths_d, packed_d, lead_dev, trail_dev, idx,
                     jnp.int32(lo), cnt, bs=bs, width=w, pblk=pblk,
-                    ulen=ulen, **p1kw,
+                    ulen=ulen, ident_idx=ident, **p1kw,
                 )
                 for lo in range(0, cnt_h, bs)
             ]
@@ -880,16 +972,17 @@ class Overlapper:
                     min_identity=jnp.float32(s.min_identity),
                     min_overlap=jnp.int32(s.min_overlap),
                     max_ignore=jnp.int32(s.max_ignore), pblk=pblk2,
-                    ulen=ulen, pack_out=pack_out,
+                    ulen=ulen, pack_out=pack_out, ident_idx=ident,
                 )
                 for lo in range(0, tcnt_h, bs2):
                     def run2(
-                        v, _i=idx, _d=dlen_all, _t=pos_s,
-                        _lo=int(toff) + lo, _c=tend, _b=bs2, _kw=p2kw,
+                        v, _i=idx, _l=lead_dev, _t2=trail_dev, _d=dlen_all,
+                        _t=pos_s, _lo=int(toff) + lo, _c=tend, _b=bs2,
+                        _kw=p2kw,
                     ):
                         return _phase2_chunk_compact(
-                            bases_d, lengths_d, packed_d, lead_dev,
-                            trail_dev, _i, _d, _t, jnp.int32(_lo), _c,
+                            bases_d, lengths_d, packed_d, _l,
+                            _t2, _i, _d, _t, jnp.int32(_lo), _c,
                             bs=_b, vcap=v, **_kw,
                         )
 

@@ -119,9 +119,13 @@ def main():
         f"h={tot[:, 0].max():.0f} t={tot[:, 1].max():.0f})")
 
     def sync(out):
-        if isinstance(out, tuple):
-            return int(np.asarray(out[-1]).sum())
-        return int(np.asarray(out).sum())
+        # fetch one ELEMENT of every output (not the buffers — the
+        # tunnel moves ~25 MB/s): a single buffer fetch can return
+        # before outputs it has no data dependency on are computed (the
+        # align step's drop counters don't depend on the DP kernels),
+        # silently under-timing the program
+        outs = out if isinstance(out, tuple) else (out,)
+        return int(sum(int(np.asarray(o.reshape(-1)[0])) for o in outs))
 
     times = {}
 
