@@ -851,15 +851,18 @@ class Overlapper:
                     retries.append((runq, bs))
                 continue
 
-            # ---- optional monolithic both-phase single launch
-            # (SEQALIGN_ALIGN_MONO=1; the sharded align step's shape).
-            # With the sort-based compaction and identity-index slicing
-            # in place the split-phase path wins again (32k interleaved
-            # A/B: split 3.95-4.16 s total vs mono 4.48-4.69 s — the
-            # ~36% tier/dud cell cut beats the extra launches), so the
-            # split path is the default; mono remains the A/B surface
-            # that exposed the 1.3 s scatter-compaction cost. ----
-            mono = bool(int(os.environ.get("SEQALIGN_ALIGN_MONO", "0")))
+            # ---- monolithic both-phase single launch vs split phases.
+            # Interleaved 32k A/B (13.9M pairs): split wins, 3.95-4.16 s
+            # total vs mono 4.48-4.69 s — the ~36% tier/dud cell cut
+            # beats the extra launches.  At 100k-sim (0.7M pairs) mono
+            # wins, 0.66 s vs 0.78 s — fixed dispatch/sync overhead
+            # dominates small buckets.  Auto mode switches on bucket
+            # size; SEQALIGN_ALIGN_MONO=0/1 forces either for A/B. ----
+            mono_env = os.environ.get("SEQALIGN_ALIGN_MONO")
+            mono = (
+                bool(int(mono_env)) if mono_env is not None
+                else cnt_h <= (1 << 21)
+            )
             if mono and cnt_h <= (1 << 25):
                 bsm = max(_cap_at_least(cnt_h, 1024), 128)
                 pblkm = next(
