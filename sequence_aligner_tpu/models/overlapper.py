@@ -47,6 +47,7 @@ from sequence_aligner_tpu.ops.encode import encode_reads
 from sequence_aligner_tpu.ops.kmer import kmer_scan
 from sequence_aligner_tpu.ops.pairgen import (
     candidate_pairs_stream, plan_totals, sort_occurrences_jit,
+    sort_occurrences_packed_jit,
 )
 
 # Per-class raw-stream ceiling for the single-device engine: the expansion
@@ -621,10 +622,16 @@ class Overlapper:
         # >= min_collisions raw events, so raw_total // min_collisions
         # bounds n_out — no overflow retry (each retry was a full recompile
         # + re-execution of the giant sort program)
-        occ_s = sort_occurrences_jit(occ)
+        pack_den = getattr(self, "_uniform_den", 0)
+        if pack_den:
+            # 2-operand sort with ONE packed payload: no per-field
+            # permutation gathers (3 x table-sized at 1M reads)
+            occ_s = sort_occurrences_packed_jit(occ, pack_den=pack_den)
+        else:
+            occ_s = sort_occurrences_jit(occ)
         del occ  # drop the unsorted table: ~1.4 GB at 1M reads
         with self.timer.stage("pairgen.plan"):  # nested inside "pairgen"
-            h_tot, t_tot = plan_totals(occ_s, **geom)
+            h_tot, t_tot = plan_totals(occ_s, pack_den=pack_den, **geom)
         printdb(f"pairgen plan: h_total={h_tot} t_total={t_tot}")
         if max(h_tot, t_tot) > _MAX_STREAM:
             raise RuntimeError(
@@ -644,7 +651,6 @@ class Overlapper:
         # the 2x-slower general radix path
         packed = getattr(self, "_max_read_id", 1 << 16) < (1 << 16)
         # uniform-read-length fast path: 3 gathers/slot instead of 6
-        pack_den = getattr(self, "_uniform_den", 0)
         prescreen_w = None
         if self.prescreen and packed and pack_den:
             # validity-implied window: two collisions lying ON one valid

@@ -115,6 +115,28 @@ def _run_bounds(h):
     return seg_l, seg_r
 
 
+def _seg_mid_counts(h, is_mid):
+    """Per-row middle-class count of the row's hash segment, via
+    run-boundary FILLS of the exclusive mid prefix — no per-row gathers
+    (the seg_l/seg_r formulation gathered the prefix twice per row:
+    2 x 85M random gathers at the 1M-read scale).  Returns [n] int32:
+    mid_cnt[i] = #mid rows in i's segment."""
+    n = h.shape[0]
+    cm = jnp.cumsum(is_mid.astype(jnp.int32)) - is_mid.astype(jnp.int32)
+    total = cm[-1] + is_mid[-1].astype(jnp.int32) if n else jnp.int32(0)
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_), h[1:] != h[:-1]])
+    # cm is nondecreasing: forward cummax fills each row with its
+    # segment start's prefix; backward cummin with the NEXT segment
+    # start's prefix (= prefix at this segment's end)
+    mid_at_l = jax.lax.cummax(jnp.where(first, cm, 0))
+    nxtv = jax.lax.cummin(jnp.where(first, cm, _I32_MAX), reverse=True)
+    mid_at_r = jnp.minimum(
+        jnp.concatenate([nxtv[1:], jnp.full((1,), 2**31 - 1, jnp.int32)]),
+        total,
+    )
+    return mid_at_r - mid_at_l
+
+
 def _pos_bits(pack_den: int) -> int:
     """Bits for the position field of the uniform-length packed operand
     (rid << pb | pos): positions run 0..pack_den, so pb adapts to the
@@ -143,6 +165,7 @@ def _expand_class(
     (read id, position) pack into ONE int32 — the expansion then costs 3
     random gathers per stream slot instead of 6 (gathers are the dominant
     cost: ~113M random gathers/s on v5e)."""
+    occ_sorted = _unpack_occ(occ_sorted, pack_den)
     h = occ_sorted["hash"]
     rid = occ_sorted["read_id"]
     loc = occ_sorted["loc"]
@@ -299,14 +322,30 @@ def aggregate_pairs(fst, snd, weight, ok):
 
 
 def compact_pairs(fst, snd, cnt, keep, cap_out: int):
-    """Scatter kept rows into a dense capacity-padded table."""
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    """Kept rows packed to the front IN ORDER — by ONE unstable
+    multi-operand sort on a position key, not scatter (row scatters
+    measured ~10x slower than equivalent unstable sorts at stream scale
+    on this chip; three [400M]-input scatters were ~4.5 s of the 1M
+    run's finish).  Slots past n_out are zeroed."""
+    n = fst.shape[0]
     n_out = jnp.sum(keep.astype(jnp.int32))
-    slot = jnp.where(keep, pos, cap_out)  # dropped -> waste slot
-    lead = jnp.zeros((cap_out + 1,), jnp.int32).at[slot].set(jnp.where(keep, fst, 0))
-    trail = jnp.zeros((cap_out + 1,), jnp.int32).at[slot].set(jnp.where(keep, snd, 0))
-    ocnt = jnp.zeros((cap_out + 1,), jnp.int32).at[slot].set(jnp.where(keep, cnt, 0))
-    return lead[:cap_out], trail[:cap_out], ocnt[:cap_out], n_out
+    keyp = jnp.where(keep, jnp.arange(n, dtype=jnp.int32), _I32_MAX)
+    _, f_c, s_c, c_c = jax.lax.sort(
+        (keyp, fst, snd, cnt), num_keys=1, is_stable=False
+    )
+    if cap_out > n:
+        pad = cap_out - n
+        z = jnp.zeros((pad,), jnp.int32)
+        f_c = jnp.concatenate([f_c, z])
+        s_c = jnp.concatenate([s_c, z])
+        c_c = jnp.concatenate([c_c, z])
+    live = jnp.arange(cap_out, dtype=jnp.int32) < n_out
+    return (
+        jnp.where(live, f_c[:cap_out], 0),
+        jnp.where(live, s_c[:cap_out], 0),
+        jnp.where(live, c_c[:cap_out], 0),
+        n_out,
+    )
 
 
 @jax.jit
@@ -314,6 +353,44 @@ def sort_occurrences_jit(occ):
     """Standalone jitted hash sort (so the sort compiles once and its
     result is shared by the planning pass and the pair stream)."""
     return sort_occurrences(occ)
+
+
+@partial(jax.jit, static_argnames=("pack_den",))
+def sort_occurrences_packed_jit(occ, *, pack_den: int):
+    """Uniform-read-length hash sort carrying ONE packed payload
+    ((rid << pb) | pos; -1 for invalid rows) instead of permuting
+    read_id/loc/valid separately — the 2-operand sort replaces the
+    three table-sized payload gathers (~3 s of the 1M run's sort_occ).
+    Consumers re-derive the classic fields via _unpack_occ; the float32
+    loc round-trips exactly (loc = f32(pos/den), round(loc*den) = pos
+    for den < 2^23)."""
+    pb = _pos_bits(pack_den)
+    posn = jnp.round(occ["loc"] * jnp.float32(pack_den)).astype(jnp.int32)
+    packed = jnp.where(
+        occ["valid"],
+        (occ["read_id"] << pb) | jnp.clip(posn, 0, (1 << pb) - 1),
+        jnp.int32(-1),
+    )
+    key = jnp.where(occ["valid"], occ["hash"], _I32_MAX)
+    key, pk = jax.lax.sort((key, packed), num_keys=1, is_stable=False)
+    return dict(hash=key, packed=pk)
+
+
+def _unpack_occ(occ_s, pack_den: int):
+    """Classic (hash, read_id, loc, valid) view of a packed-payload
+    sorted table (cheap elementwise ops, fused into the consumer)."""
+    if "packed" not in occ_s:
+        return occ_s
+    pb = _pos_bits(pack_den)
+    pk = occ_s["packed"]
+    valid = pk >= 0
+    pos = jnp.where(valid, pk & ((1 << pb) - 1), 0)
+    return dict(
+        hash=occ_s["hash"],
+        read_id=jnp.where(valid, pk >> pb, 0),
+        loc=pos.astype(jnp.float32) / jnp.float32(pack_den),
+        valid=valid,
+    )
 
 
 _SUM_CHUNK = 1 << 15
@@ -339,8 +416,11 @@ def _chunk_hi_lo_sums(vals):
     return hi, lo
 
 
-@jax.jit
-def plan_totals_device(occ_sorted, head_edge, tail_edge, mid_lead, mid_tail):
+@partial(jax.jit, static_argnames=("pack_den",))
+def plan_totals_device(
+    occ_sorted, head_edge, tail_edge, mid_lead, mid_tail, *,
+    pack_den: int = 0,
+):
     """Exact raw head x middle / tail x middle cross-product totals,
     computed on device from the hash-sorted occurrence table.
 
@@ -353,6 +433,7 @@ def plan_totals_device(occ_sorted, head_edge, tail_edge, mid_lead, mid_tail):
     (``_chunk_hi_lo_sums``) recombined exactly on host.  Mirrors
     calcPairData's pair-count accounting (src/KmerTable.scala:105-128).
     """
+    occ_sorted = _unpack_occ(occ_sorted, pack_den)
     h = occ_sorted["hash"]
     loc = occ_sorted["loc"]
     # the carried valid flags are authoritative: a LEGITIMATE k=16
@@ -362,10 +443,7 @@ def plan_totals_device(occ_sorted, head_edge, tail_edge, mid_lead, mid_tail):
     is_head = valid & (loc <= head_edge)
     is_mid = valid & (mid_lead <= loc) & (loc <= mid_tail)
     is_tail = valid & (loc >= tail_edge)
-    _, mid_prefix, mid_total = _compact_indices(is_mid, cap=1)
-    mid_pref_full = jnp.concatenate([mid_prefix, mid_total[None]])
-    seg_l, seg_r = _run_bounds(h)
-    mid_cnt = mid_pref_full[seg_r] - mid_pref_full[seg_l]
+    mid_cnt = _seg_mid_counts(h, is_mid)
     h_hi, h_lo = _chunk_hi_lo_sums(jnp.where(is_head, mid_cnt, 0))
     t_hi, t_lo = _chunk_hi_lo_sums(jnp.where(is_tail, mid_cnt, 0))
     # ONE stacked array so the host pays a single fetch round trip (four
@@ -373,13 +451,14 @@ def plan_totals_device(occ_sorted, head_edge, tail_edge, mid_lead, mid_tail):
     return jnp.stack([h_hi, h_lo, t_hi, t_lo])
 
 
-def plan_totals(occ_sorted, **geom) -> tuple[int, int]:
+def plan_totals(occ_sorted, pack_den: int = 0, **geom) -> tuple[int, int]:
     """Host wrapper: exact (h_total, t_total) as Python ints (arbitrary
     precision — immune to the int32/x64 truncation of naive device sums)."""
     import numpy as np
 
     h_hi, h_lo, t_hi, t_lo = np.asarray(
-        plan_totals_device(occ_sorted, **geom), dtype=np.int64
+        plan_totals_device(occ_sorted, pack_den=pack_den, **geom),
+        dtype=np.int64,
     )
     h_total = (int(h_hi.sum()) << 15) + int(h_lo.sum())
     t_total = (int(t_hi.sum()) << 15) + int(t_lo.sum())
@@ -431,6 +510,7 @@ def _expand_prep_jit(
         head_edge=head_edge, tail_edge=tail_edge,
         mid_lead=mid_lead, mid_tail=mid_tail,
     )
+    occ_s = _unpack_occ(occ_s, pack_den)
     h = occ_s["hash"]
     rid = occ_s["read_id"]
     loc = occ_s["loc"]
@@ -449,10 +529,18 @@ def _expand_prep_jit(
         packed = (rid << pb) | jnp.clip(posn, 0, (1 << pb) - 1)
 
     mid_rows, mid_prefix, mid_total = _compact_indices(is_mid)
-    mid_pref_full = jnp.concatenate([mid_prefix, mid_total[None]])
-    seg_l, seg_r = _run_bounds(h)
-    mid_base = mid_pref_full[seg_l]
-    mid_cnt = mid_pref_full[seg_r] - mid_base
+    # segment mid base/count via run-boundary fills of the exclusive mid
+    # prefix — no per-row prefix gathers (2 x table-sized at 1M reads)
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_), h[1:] != h[:-1]])
+    mid_base = jax.lax.cummax(jnp.where(first, mid_prefix, 0))
+    nxtv = jax.lax.cummin(
+        jnp.where(first, mid_prefix, _I32_MAX), reverse=True
+    )
+    mid_at_r = jnp.minimum(
+        jnp.concatenate([nxtv[1:], jnp.full((1,), 2**31 - 1, jnp.int32)]),
+        mid_total,
+    )
+    mid_cnt = mid_at_r - mid_base
 
     npairs = jnp.where(edge_mask, mid_cnt, 0)
     cum = jnp.cumsum(npairs)
@@ -571,6 +659,110 @@ def _expand_chunk_jit(
     return jnp.where(ok, fst, _I32_MAX), jnp.where(ok, snd, _I32_MAX)
 
 
+@jax.jit
+def _chunk_straddlers_jit(excl, active, t0s):
+    """Per-chunk straddling rows for the host-planned sliced expansion:
+    r0s[i] = last ACTIVE row with excl <= t0s[i] (-1 if none).  One tiny
+    fetch replaces the per-chunk full-table reduce AND lets each chunk
+    program slice its row range."""
+    iota = jnp.arange(excl.shape[0], dtype=jnp.int32)
+
+    def one(t0):
+        return jnp.max(jnp.where(active & (excl <= t0), iota, -1))
+
+    return jax.lax.map(one, t0s)
+
+
+@partial(jax.jit, static_argnames=("rpad",))
+def _pad_prep_rows_jit(row_tabs, *, rpad: int):
+    """Pad the sliced-expansion row tables by ``rpad`` inert rows
+    (excl = +inf, inactive) so a chunk's dynamic_slice can never clamp
+    backwards past its straddler."""
+    excl, active, *ops = row_tabs
+    out = [
+        jnp.concatenate([excl, jnp.full((rpad,), jnp.int32(2**30))]),
+        jnp.concatenate([active, jnp.zeros((rpad,), jnp.bool_)]),
+    ]
+    for op in ops:
+        if op.ndim == 2:
+            out.append(jnp.concatenate(
+                [op, jnp.zeros((rpad, op.shape[1]), op.dtype)]
+            ))
+        else:
+            out.append(jnp.concatenate([op, jnp.zeros((rpad,), op.dtype)]))
+    return tuple(out)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("chunk", "R", "pack_den", "emit_key", "emit_diag"),
+)
+def _expand_chunk_sliced_jit(
+    row_tabs, mid_tabs, total, t0, r0, *,
+    chunk: int, R: int, pack_den: int, emit_key: bool, emit_diag: bool = False,
+):
+    """Slots [t0, t0 + chunk) of one edge class's stream, reading ONLY
+    rows [r0, r0 + R) of the (padded) row tables.
+
+    The unsliced chunk program scatters/filters the ENTIRE row table per
+    chunk — at 1M reads that is 13 chunks x an 85M-row masked scatter,
+    ~20 s of the 30 s expansion.  The host plans each chunk's straddling
+    row via _chunk_straddlers_jit (one tiny fetch) and R = a pow2/8 tier
+    of the largest row span, so per-chunk work is O(R + chunk).  The
+    straddler sits at LOCAL row 0 (has0 <=> r0 >= 0); excl is monotone,
+    so a chunk's rows are contiguous."""
+    has0 = r0 >= 0
+    rl = jnp.maximum(r0, 0)
+
+    def sl(a):
+        if a.ndim == 2:
+            return jax.lax.dynamic_slice(a, (rl, 0), (R, a.shape[1]))
+        return jax.lax.dynamic_slice(a, (rl,), (R,))
+
+    excl, active, *ops = (sl(a) for a in row_tabs)
+    iota_r = jnp.arange(R, dtype=jnp.int32)
+    in_win = active & (excl >= t0) & (excl < t0 + chunk)
+    pos_c = jnp.where(in_win, excl - t0, chunk)
+    t = t0 + jnp.arange(chunk, dtype=jnp.int32)
+
+    # local source-row fill; the straddler is local row 0, so seed 0
+    base = jnp.zeros((chunk + 1,), jnp.int32).at[pos_c].max(
+        jnp.where(in_win, iota_r, 0)
+    )
+    ei = jax.lax.cummax(base[:chunk])
+    ok = (t < total) & has0
+    if pack_den:
+        (a_tab,) = ops
+        (mid_pk,) = mid_tabs
+        g = a_tab[ei]  # ONE 2-wide row gather: (a operand, mb_off)
+        a_pk = g[:, 0]
+        mrank = jnp.clip(g[:, 1] + t, 0, max(mid_pk.shape[0] - 1, 0))
+        b_pk = mid_pk[mrank]
+        pb = _pos_bits(pack_den)
+        a_id = a_pk >> pb
+        b_id = b_pk >> pb
+        a_first = (a_pk & ((1 << pb) - 1)) > (b_pk & ((1 << pb) - 1))
+    else:
+        a_rid, a_loc, mb_off = ops
+        m_rid, m_loc = mid_tabs
+        mrank = jnp.clip(mb_off[ei] + t, 0, max(m_rid.shape[0] - 1, 0))
+        a_id = a_rid[ei]
+        b_id = m_rid[mrank]
+        a_first = a_loc[ei] > m_loc[mrank]  # strict-greater loc leads
+    ok &= a_id != b_id  # self pairs skipped (src/KmerTable.scala:61-63)
+    fst = jnp.where(a_first, a_id, b_id)
+    snd = jnp.where(a_first, b_id, a_id)
+    if emit_key:
+        key = jnp.where(ok, ((fst << 16) | snd) ^ _SIGN, _I32_MAX)
+        if emit_diag:
+            pm = (1 << pb) - 1
+            pos_a, pos_b = a_pk & pm, b_pk & pm
+            diag = jnp.where(a_first, pos_a - pos_b, pos_b - pos_a)
+            return key, jnp.where(ok, diag, 0)
+        return key
+    return jnp.where(ok, fst, _I32_MAX), jnp.where(ok, snd, _I32_MAX)
+
+
 def _chunk_sizes(cap: int, chunk: int | None = None) -> list[int]:
     """Split a stream capacity into chunk-sized pieces (the tail piece
     may be smaller; sub-chunk caps are a single piece).  Very large caps
@@ -590,17 +782,62 @@ def _chunk_sizes(cap: int, chunk: int | None = None) -> list[int]:
 
 def _expand_stream_chunked(
     occ_s, edges, *, cap, pack_den, which, emit_key, chunk_size=None,
-    emit_diag=False,
+    emit_diag=False, host_planned=False,
 ):
     """One edge class's full stream via the chunked programs.  Returns
     (key [cap], total) when emit_key ((key, diag, total) with emit_diag),
     else (fst, snd, total) — validity is encoded as _I32_MAX sentinels in
     BOTH pair columns (invalid slots sink in the radix sorts without a
-    separate ok array)."""
+    separate ok array).
+
+    ``host_planned`` (host-orchestrated callers only — it fetches the
+    per-chunk straddling rows) switches multi-chunk expansions to the
+    row-SLICED chunk program: per-chunk work drops from O(table) to
+    O(row span), which is the difference between 30 s and ~10 s at the
+    1M-read scale (13 chunks x 85M-row masked scatters otherwise)."""
     prep = _expand_prep_jit(occ_s, **edges, pack_den=pack_den, which=which)
     pieces = []
+    sizes = _chunk_sizes(cap, chunk_size)
+    if host_planned and len(sizes) > 1:
+        import numpy as np
+
+        if chunk_size is None and cap > (1 << 26):
+            # the 2^25 piece size exists to bound the UNSLICED chunk's
+            # table-sized working set; sliced chunks are O(R + chunk),
+            # so larger pieces just amortize the per-dispatch costs
+            big = 1 << 26
+            sizes = [big] * (cap // big) + (
+                [cap % big] if cap % big else []
+            )
+        t0s = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        r0s = np.asarray(_chunk_straddlers_jit(
+            prep["excl"], prep["active"],
+            jnp.asarray(np.minimum(t0s, 2**31 - 1), jnp.int32),
+        ))
+        spans = [
+            max(int(r0s[i + 1]), int(r0s[i]), 1) - max(int(r0s[i]), 0) + 1
+            for i in range(len(sizes))
+        ]
+        R = _finish_cap(max(spans), 1 << 14)
+        if pack_den:
+            row_tabs = (prep["excl"], prep["active"], prep["a_tab"])
+            mid_tabs = (prep["mid_pk"],)
+        else:
+            row_tabs = (
+                prep["excl"], prep["active"],
+                prep["a_rid"], prep["a_loc"], prep["mb_off"],
+            )
+            mid_tabs = (prep["m_rid"], prep["m_loc"])
+        row_tabs = _pad_prep_rows_jit(row_tabs, rpad=R)
+        for i, c in enumerate(sizes):
+            pieces.append(_expand_chunk_sliced_jit(
+                row_tabs, mid_tabs, prep["total"], jnp.int32(t0s[i]),
+                jnp.int32(r0s[i]), chunk=c, R=R, pack_den=pack_den,
+                emit_key=emit_key, emit_diag=emit_diag,
+            ))
+        sizes = []
     t0 = 0
-    for c in _chunk_sizes(cap, chunk_size):
+    for c in sizes:
         pieces.append(_expand_chunk_jit(
             prep, jnp.int32(t0), chunk=c, pack_den=pack_den,
             emit_key=emit_key, emit_diag=emit_diag,
@@ -916,10 +1153,12 @@ def candidate_pairs_stream(
             key_h, diag_h, h_tot = _expand_stream_chunked(
                 occ_s, edges, cap=cap_head, pack_den=pack_den,
                 which="head", emit_key=True, emit_diag=True,
+                host_planned=True,
             )
             key_t, diag_t, t_tot = _expand_stream_chunked(
                 occ_s, edges, cap=cap_tail, pack_den=pack_den,
                 which="tail", emit_key=True, emit_diag=True,
+                host_planned=True,
             )
             key_s, diag_s = _sort_keys_diag_jit(key_h, key_t, diag_h, diag_t)
             out = _finish_screened_jit(
@@ -930,11 +1169,11 @@ def candidate_pairs_stream(
         else:
             key_h, h_tot = _expand_stream_chunked(
                 occ_s, edges, cap=cap_head, pack_den=pack_den, which="head",
-                emit_key=True,
+                emit_key=True, host_planned=True,
             )
             key_t, t_tot = _expand_stream_chunked(
                 occ_s, edges, cap=cap_tail, pack_den=pack_den, which="tail",
-                emit_key=True,
+                emit_key=True, host_planned=True,
             )
             key_s = _sort_keys_jit(key_h, key_t)
             out = _finish_packed_jit(
@@ -955,11 +1194,11 @@ def candidate_pairs_stream(
     else:
         h_fst, h_snd, h_tot = _expand_stream_chunked(
             occ_s, edges, cap=cap_head, pack_den=pack_den, which="head",
-            emit_key=False,
+            emit_key=False, host_planned=True,
         )
         t_fst, t_snd, t_tot = _expand_stream_chunked(
             occ_s, edges, cap=cap_tail, pack_den=pack_den, which="tail",
-            emit_key=False,
+            emit_key=False, host_planned=True,
         )
         import warnings
 

@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """Engine-flow pairgen trace: replicate Overlapper._candidates_dev piece
 by piece with a scalar-fetch sync after each dispatch, TWO passes (the
-bench's warmup + timed shape), to locate the gap between the summed
-split-piece times (~2.5 s) and the engine's pairgen stage (~4.7 s)."""
+bench's warmup + timed shape).  Env knobs mirror bench.py: TRACE_READS
+(32000), TRACE_SIM (coverage, 0 = c_ruddii shred), TRACE_K (12).  At
+>= 2^16 reads the engine takes the general-id path (2-key pair sort +
+run-length + compaction) and so does the trace."""
 
 import os
 import sys
@@ -25,12 +27,22 @@ def main():
     from sequence_aligner_tpu.ops.encode import encode_reads
     from sequence_aligner_tpu.pipeline.datasets import c_ruddii_reads
 
-    seqs = c_ruddii_reads(n_reads=32000, read_len=100)
-    s = AlignSettings.amos_parity()
+    n_reads = int(os.environ.get("TRACE_READS", "32000"))
+    sim = float(os.environ.get("TRACE_SIM", "0"))
+    k = int(os.environ.get("TRACE_K", "12"))
+    if sim:
+        from sequence_aligner_tpu.pipeline.datasets import simulated_reads
+
+        seqs = simulated_reads(n_reads, 100, coverage=sim, error_rate=0)
+    else:
+        seqs = c_ruddii_reads(n_reads=n_reads, read_len=100)
+    s = AlignSettings.amos_parity(kmer_size=k)
     bases, lengths = encode_reads(seqs)
-    n_tier = 32768
-    bases = np.pad(bases, ((0, n_tier - 32000), (0, 0)))
-    lengths = np.pad(lengths, (0, n_tier - 32000))
+    n_tier = 256
+    while n_tier < n_reads:
+        n_tier *= 2
+    bases = np.pad(bases, ((0, n_tier - n_reads), (0, 0)))
+    lengths = np.pad(lengths, (0, n_tier - n_reads))
     ov = Overlapper(s)
 
     geom = dict(
@@ -51,28 +63,60 @@ def main():
 
         occ = ov._occurrences(bases, lengths)
         mark("kmer_scan", occ["hash"][-1])
-        occ_s = pg.sort_occurrences_jit(occ)
+        den = ov._uniform_den if hasattr(ov, "_uniform_den") else 0
+        if den:
+            occ_s = pg.sort_occurrences_packed_jit(occ, pack_den=den)
+        else:
+            occ_s = pg.sort_occurrences_jit(occ)
         mark("sort_occ", occ_s["hash"][-1])
-        h_tot, t_tot = pg.plan_totals(occ_s, **geom)
+        h_tot, t_tot = pg.plan_totals(occ_s, pack_den=den, **geom)
         mark("plan")
         cap_head = _cap_at_least(h_tot, 1 << 14)
         cap_tail = _cap_at_least(t_tot, 1 << 14)
         cap_out = _cap_at_least((h_tot + t_tot) // 2, 1 << 14)
-        den = ov._uniform_den if hasattr(ov, "_uniform_den") else 0
-        key_h, _ = pg._expand_stream_chunked(
-            occ_s, geom, cap=cap_head, pack_den=den, which="head",
-            emit_key=True)
-        mark("expand_head", key_h[-1])
-        key_t, _ = pg._expand_stream_chunked(
-            occ_s, geom, cap=cap_tail, pack_den=den, which="tail",
-            emit_key=True)
-        mark("expand_tail", key_t[-1])
-        key_s = pg._sort_keys_jit(key_h, key_t)
-        mark("sort_keys", key_s[-1])
-        out = pg._finish_packed_jit(
-            key_s, jnp.int32(s.min_collisions), jnp.int32(s.max_collisions),
-            cap_out=cap_out, with_counts=True)
-        mark("finish", out["n_out"])
+        packed = n_tier < (1 << 16)
+        if packed:
+            key_h, _ = pg._expand_stream_chunked(
+                occ_s, geom, cap=cap_head, pack_den=den, which="head",
+                emit_key=True, host_planned=True)
+            mark("expand_head", key_h[-1])
+            key_t, _ = pg._expand_stream_chunked(
+                occ_s, geom, cap=cap_tail, pack_den=den, which="tail",
+                emit_key=True, host_planned=True)
+            mark("expand_tail", key_t[-1])
+            key_s = pg._sort_keys_jit(key_h, key_t)
+            mark("sort_keys", key_s[-1])
+            out = pg._finish_packed_jit(
+                key_s, jnp.int32(s.min_collisions),
+                jnp.int32(s.max_collisions),
+                cap_out=cap_out, with_counts=True)
+            mark("finish", out["n_out"])
+        else:  # general-id path (the engine's route at >= 2^16 reads)
+            import warnings
+
+            h_fst, h_snd, _ = pg._expand_stream_chunked(
+                occ_s, geom, cap=cap_head, pack_den=den, which="head",
+                emit_key=False, host_planned=True)
+            mark("expand_head", h_fst[-1])
+            t_fst, t_snd, _ = pg._expand_stream_chunked(
+                occ_s, geom, cap=cap_tail, pack_den=den, which="tail",
+                emit_key=False, host_planned=True)
+            mark("expand_tail", t_fst[-1])
+            with warnings.catch_warnings():
+                warnings.filterwarnings(
+                    "ignore", message="Some donated buffers were not usable")
+                fst2, snd2 = pg._sort_pairs_np_jit(h_fst, h_snd, t_fst, t_snd)
+            mark("sort_pairs", fst2[-1])
+            n_keep_dev, cnt, keep = pg._np_keep_count_jit(
+                fst2, snd2, jnp.int32(s.min_collisions),
+                jnp.int32(s.max_collisions))
+            mark("keep_count", n_keep_dev)
+            cap_eff = min(cap_out, pg._finish_cap(int(n_keep_dev)))
+            with warnings.catch_warnings():
+                warnings.filterwarnings(
+                    "ignore", message="Some donated buffers were not usable")
+                out = pg._finish_np_jit(fst2, snd2, cnt, keep, cap_out=cap_eff)
+            mark("finish", out["n_out"])
         print(f"--- pass {tag} (total {time.time() - t_all:.2f}s) ---")
         for (l0, t0), (l1, t1) in zip(marks, marks[1:]):
             print(f"  {l1:14s}: {(t1 - t0) * 1e3:8.1f} ms")
