@@ -123,15 +123,13 @@ def _run_sums(first, weight):
     return cw[nxt - 1] - ex[seg_l]
 
 
-def _agg_general(fst, snd, weight, cap: int):
-    """General-id aggregation: 2-key unstable sort + POSITIONAL run
-    lengths + scatter compaction.  Invalid rows carry _I32_MAX in both
-    columns.  ``weight`` must be all-ones over valid rows (raw collision
-    events) — run length IS the weight total, computed from the
-    run-boundary fills without the 2 stream-sized gathers the
-    general-weight _run_sums pays.  Returns (fst_c [cap], snd_c [cap],
-    cnt_c [cap], n_runs)."""
-    del weight  # ones by contract; counts come from run boundaries
+def _agg_general(fst, snd, cap: int):
+    """General-id aggregation of raw collision events: 2-key unstable
+    sort + POSITIONAL run lengths (run length IS the count — no
+    stream-sized gathers) + compaction BY SORT (row scatters are ~10x
+    slower than unstable sorts at stream scale on this chip).  Invalid
+    rows carry _I32_MAX in both columns.  Returns (fst_c [cap],
+    snd_c [cap], cnt_c [cap], n_runs); slots past n_runs are zeroed."""
     f_s, s_s = jax.lax.sort((fst, snd), num_keys=2, is_stable=False)
     okv = f_s != _I32_MAX
     # UNMASKED boundaries for the fills (the first invalid slot bounds
@@ -152,13 +150,22 @@ def _agg_general(fst, snd, weight, cap: int):
     )
     tot = nxt - seg_l  # exact at run-start positions
     n_runs = jnp.sum(first.astype(jnp.int32))
-    pos = jnp.cumsum(first.astype(jnp.int32)) - 1
-    slot = jnp.where(first, jnp.minimum(pos, cap), cap)
-    z = jnp.zeros((cap + 1,), jnp.int32)
-    fst_c = z.at[slot].set(jnp.where(first, f_s, 0))[:cap]
-    snd_c = z.at[slot].set(jnp.where(first, s_s, 0))[:cap]
-    cnt_c = z.at[slot].set(jnp.where(first, tot, 0))[:cap]
-    return fst_c, snd_c, cnt_c, n_runs
+    keyp = jnp.where(first, idx, _I32_MAX)
+    _, f_c, s_c, c_c = jax.lax.sort(
+        (keyp, f_s, s_s, tot), num_keys=1, is_stable=False
+    )
+    if cap > n:
+        z = jnp.zeros((cap - n,), jnp.int32)
+        f_c = jnp.concatenate([f_c, z])
+        s_c = jnp.concatenate([s_c, z])
+        c_c = jnp.concatenate([c_c, z])
+    live = jnp.arange(cap, dtype=jnp.int32) < n_runs
+    return (
+        jnp.where(live, f_c[:cap], 0),
+        jnp.where(live, s_c[:cap], 0),
+        jnp.where(live, c_c[:cap], 0),
+        n_runs,
+    )
 
 
 def _fetch_read_rows(
@@ -289,10 +296,16 @@ def make_sharded_pairs_step(
     cap_out: int,
     packed: bool,
     pack_den: int = 0,
+    agg_chunk: int = 1 << 26,
     axis: str = "shard",
     stop_after: str | None = None,
 ):
     """Build the jitted candidate-generation program.
+
+    ``agg_chunk``: general-id local aggregation runs in pieces of this
+    many stream slots (chunked sort + run-length, partials summed by the
+    pair owner), bounding the step's HBM peak at O(agg_chunk) instead of
+    O(raw stream) — the BASELINE config-5 (20M reads) requirement.
 
     Returns fn(bases [N, L] int8, lengths [N] int32, ids [N] int32) ->
     (lead [n_dev * cap_out], trail, n_out [n_dev], drops [n_dev, 4])
@@ -444,12 +457,41 @@ def make_sharded_pairs_step(
             uk = jnp.where(l_ok, lkey ^ _SIGN, 0)
             lfst = (uk >> 16) & 0xFFFF
             lsnd = uk & 0xFFFF
+            agg_overflow = jnp.maximum(n_agg - cap_agg, 0)
         else:
-            # invalid slots already carry _I32_MAX in both columns
-            ones = jnp.ones_like(fstm)
-            lfst, lsnd, lcnt, n_agg = _agg_general(fstm, sndm, ones, cap_agg)
+            # invalid slots already carry _I32_MAX in both columns.
+            # CHUNKED local aggregation (the BASELINE config-5 enabler):
+            # sorting the whole raw stream at once keeps O(stream) HBM
+            # live; per agg_chunk piece the peak is O(chunk), and the
+            # owner-side summation absorbs the extra partial rows a
+            # chunk boundary splits — a pair's events landing in two
+            # chunks just yield two (pair, partial) rows, summed by the
+            # owner exactly like cross-device partials.
+            stream_n = fstm.shape[0]
+            if stream_n > agg_chunk:
+                nch = -(-stream_n // agg_chunk)
+                cap_c = _tier(max(cap_agg // nch, 1 << 14))
+                pf, ps, pc = [], [], []
+                n_agg = jnp.int32(0)
+                agg_overflow = jnp.int32(0)
+                for ci in range(nch):
+                    lo = ci * agg_chunk
+                    hi = min(lo + agg_chunk, stream_n)
+                    f_c, s_c, c_c, n_r = _agg_general(
+                        fstm[lo:hi], sndm[lo:hi], cap_c
+                    )
+                    pf.append(f_c)
+                    ps.append(s_c)
+                    pc.append(c_c)
+                    n_agg = n_agg + jnp.minimum(n_r, cap_c)
+                    agg_overflow = agg_overflow + jnp.maximum(n_r - cap_c, 0)
+                lfst = jnp.concatenate(pf)
+                lsnd = jnp.concatenate(ps)
+                lcnt = jnp.concatenate(pc)
+            else:
+                lfst, lsnd, lcnt, n_agg = _agg_general(fstm, sndm, cap_agg)
+                agg_overflow = jnp.maximum(n_agg - cap_agg, 0)
             l_ok = lfst > 0
-        agg_overflow = jnp.maximum(n_agg - cap_agg, 0)
         if n_dev == 1 and not packed:
             # as above: skip the self-routing; feed the local partials
             # straight into the band filter + compaction below

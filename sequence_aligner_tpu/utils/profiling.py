@@ -16,6 +16,12 @@ import os
 def ensure_compile_cache(path: str = "/root/repo/.jax_cache") -> None:
     import jax
 
+    if jax.default_backend() == "cpu":
+        # CPU executables are AOT-compiled for the BUILD host's ISA; the
+        # committed cache may come from a different machine and loading
+        # its entries can SIGILL (observed killing a CPU-mesh run
+        # silently).  Use a host-local, uncommitted cache instead.
+        path = "/tmp/jax_cache_cpu"
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

@@ -125,3 +125,50 @@ def test_sharded_planned_caps(crp_seqs):
         (r.id_a, r.id_b, r.ahg, r.bhg) for r in want
     ]
     assert recs
+
+
+def test_chunked_general_aggregation_matches(crp_seqs):
+    """The general-id pairs step with TINY aggregation chunks (BASELINE
+    config-5's O(chunk)-memory mode) must produce exactly the candidates
+    of the unchunked step: partial counts split at chunk boundaries are
+    summed by the pair owner like any cross-device partials."""
+    import jax
+    import jax.numpy as jnp
+
+    from sequence_aligner_tpu.ops.encode import encode_reads
+    from sequence_aligner_tpu.parallel.shard import make_sharded_pairs_step
+
+    s = AlignSettings.amos_parity()
+    mesh = make_mesh(8)
+    bases, lengths = encode_reads(crp_seqs)
+    n = bases.shape[0]
+    pad = (-n) % 8
+    bases = np.pad(bases, ((0, pad), (0, 0)))
+    lengths = np.pad(lengths, (0, pad))
+    ids = np.concatenate(
+        [np.arange(1, n + 1, dtype=np.int32), np.zeros(pad, np.int32)]
+    )
+    caps = dict(
+        cap_route=1 << 14, cap_head=1 << 17, cap_tail=1 << 17,
+        cap_agg=1 << 14, cap_pair_route=1 << 13, cap_out=1 << 11,
+    )
+    args = (jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(ids))
+
+    def run(agg_chunk):
+        step = make_sharded_pairs_step(
+            mesh, s, packed=False, pack_den=0, agg_chunk=agg_chunk, **caps
+        )
+        lead, trail, n_out, drops = (np.asarray(x) for x in step(*args))
+        assert drops.sum() == 0, drops
+        got = set()
+        for d in range(8):
+            lo = d * caps["cap_out"]
+            k = int(n_out[d])
+            got.update(zip(
+                lead[lo : lo + k].tolist(), trail[lo : lo + k].tolist()
+            ))
+        return got
+
+    whole = run(1 << 26)       # single-piece aggregation
+    chunked = run(1 << 15)     # 8 pieces per device
+    assert whole == chunked and len(whole) > 1000
