@@ -806,8 +806,16 @@ def sharded_overlap(
     with ONLY the overflowed capacities doubled — recompiling only the
     program they belong to.
     """
+    import time as _time
+
     from sequence_aligner_tpu.core.records import OverlapRecord
     from sequence_aligner_tpu.ops.encode import encode_reads
+
+    timing = {}
+    _t0 = _time.time()
+
+    def _mark(name):
+        timing[name] = round(_time.time() - _t0 - sum(timing.values()), 3)
 
     if mesh is None:
         mesh = jax.make_mesh((len(jax.devices()),), ("shard",))
@@ -884,6 +892,7 @@ def sharded_overlap(
         # sort/scan time (the round-4 25% slack was a third of the step)
         caps.setdefault("cap_head", _tier(int(1.02 * h_max) + 1024))
         caps.setdefault("cap_tail", _tier(int(1.02 * t_max) + 1024))
+        _mark("plan")
         raw_dev = caps["cap_head"] + caps["cap_tail"]
         # local distinct pairs <= raw events; owner-side kept pairs carry
         # >= min_collisions events each
@@ -923,6 +932,7 @@ def sharded_overlap(
                     caps[name] *= 2
 
     n_out = to_host(n_out_d)
+    _mark("pairs")
     # ---- align program at a tier sized from the REAL pair counts ----
     caps.setdefault("cap_align", _tier(int(n_out.max()) if n_out.size else 0))
     caps.setdefault(
@@ -977,6 +987,7 @@ def sharded_overlap(
                     else:
                         caps[name] *= 2
 
+    _mark("align_dispatch")
     rows = []
     for valid, lead, trail, ahg, bhg in outs:
         valid = to_host(valid)
@@ -988,6 +999,17 @@ def sharded_overlap(
             for i in idx
         )
     rows.sort()
+    _mark("align_fetch_sort")
+    if int(__import__("os").environ.get("SEQALIGN_DIST_TIMING", "0")):
+        import json as _json
+        import sys as _sys
+
+        print(
+            "# sharded_overlap timing "
+            + _json.dumps(dict(timing, total=round(_time.time() - _t0, 3),
+                               n_records=len(rows))),
+            file=_sys.stderr, flush=True,
+        )
     return [
         OverlapRecord(id_a=a, id_b=b, ahg=h, bhg=g) for a, b, h, g in rows
     ]

@@ -118,14 +118,17 @@ def main():
     log(f"planned caps: {caps} (per-device totals max "
         f"h={tot[:, 0].max():.0f} t={tot[:, 1].max():.0f})")
 
+    _sum = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
+
     def sync(out):
-        # fetch one ELEMENT of every output (not the buffers — the
-        # tunnel moves ~25 MB/s): a single buffer fetch can return
-        # before outputs it has no data dependency on are computed (the
-        # align step's drop counters don't depend on the DP kernels),
-        # silently under-timing the program
+        # reduce EVERY output on device and fetch the scalars: a single
+        # buffer fetch can return before outputs it has no data
+        # dependency on are computed (the align step's drop counters
+        # don't depend on the DP kernels), silently under-timing the
+        # program — and fetching whole buffers would pay the ~25 MB/s
+        # tunnel.  The jitted sum also handles sharded outputs.
         outs = out if isinstance(out, tuple) else (out,)
-        return int(sum(int(np.asarray(o.reshape(-1)[0])) for o in outs))
+        return int(sum(int(_sum(o)) for o in outs))
 
     times = {}
 
