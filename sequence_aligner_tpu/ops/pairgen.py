@@ -146,150 +146,6 @@ def _pos_bits(pack_den: int) -> int:
     return max(int(pack_den).bit_length(), 1)
 
 
-def _expand_class(
-    occ_sorted, geom, which: str, cap: int, pack_den: int = 0,
-    emit_key: bool = False,
-):
-    """Hash-sorted occurrence table -> ONE edge class's flat ordered-pair
-    stream (fst, snd, ok, total) of static size ``cap``, pre-counting —
-    or, with ``emit_key`` (packed 16-bit-id regime), the sign-flipped
-    packed keys ((fst<<16)|snd)^SIGN directly (invalid slots _I32_MAX),
-    the operand the single-sort aggregation pipeline consumes.
-    ``which`` selects the head-edge or tail-edge class
-    (src/KmerTable.scala:118-128: head x middle and tail x middle).
-
-    pack_den > 0 enables the uniform-read-length fast path: all locs share
-    the denominator ``pack_den = len - k``, so the lead rule's float32 loc
-    comparison is equivalent to comparing integer positions (float32
-    division by a common D < 2^23 is monotone and collision-free), and
-    (read id, position) pack into ONE int32 — the expansion then costs 3
-    random gathers per stream slot instead of 6 (gathers are the dominant
-    cost: ~113M random gathers/s on v5e)."""
-    occ_sorted = _unpack_occ(occ_sorted, pack_den)
-    h = occ_sorted["hash"]
-    rid = occ_sorted["read_id"]
-    loc = occ_sorted["loc"]
-    # the carried valid flags are authoritative: a LEGITIMATE k=16
-    # hash can equal the _I32_MAX sort sentinel (e.g. "CTTT...T"),
-    # and masks already zero every invalid row's contribution
-    valid = occ_sorted["valid"]
-    n = h.shape[0]
-
-    is_mid = valid & (geom["mid_lead"] <= loc) & (loc <= geom["mid_tail"])
-    if which == "head":
-        edge_mask = valid & (loc <= geom["head_edge"])
-    else:
-        edge_mask = valid & (loc >= geom["tail_edge"])
-
-    if pack_den:
-        # exact position recovery: loc = round_f32(pos / D), and
-        # round(loc * D) == pos for D < 2^23
-        pb = _pos_bits(pack_den)
-        posn = jnp.round(loc * jnp.float32(pack_den)).astype(jnp.int32)
-        packed = (rid << pb) | jnp.clip(posn, 0, (1 << pb) - 1)
-
-    # middle-class rank -> table row
-    mid_rows, mid_prefix, mid_total = _compact_indices(is_mid)
-    # rank-indexed middle operand tables: one table-sized gather here
-    # replaces a stream-sized gather (84M slots at 32k reads) per stream
-    if pack_den:
-        mid_pk = packed[mid_rows]
-    else:
-        mid_rid = rid[mid_rows]
-        mid_loc = loc[mid_rows]
-    # prefix extended to length n+1 so counts in [l, r) index directly
-    mid_pref_full = jnp.concatenate([mid_prefix, mid_total[None]])
-    # per-row hash segment bounds (run-boundary fills over the sorted keys)
-    seg_l, seg_r = _run_bounds(h)
-    mid_base = mid_pref_full[seg_l]
-    mid_cnt = mid_pref_full[seg_r] - mid_base
-
-    def _expand(edge_mask, cap):
-        npairs = jnp.where(edge_mask, mid_cnt, 0)
-        cum = jnp.cumsum(npairs)
-        total = cum[-1] if n else jnp.int32(0)
-        excl = cum - npairs
-        t = jnp.arange(cap, dtype=jnp.int32)
-        # source row per stream slot: rows with npairs > 0 have strictly
-        # increasing excl, so scattering the row index at position excl and
-        # cummax-filling reproduces searchsorted_right(cum, t) for t < total
-        # in two passes (vs ~20 gather passes for the unrolled search)
-        pos = jnp.where((npairs > 0) & (excl < cap), excl, cap)
-
-        # source-row broadcast: the row index is monotone over run starts,
-        # so ONE scatter + cummax fill yields each slot's source row; every
-        # per-row quantity (stream offset, middle base, operands) follows
-        # by gathers.  (Earlier formulations ran one fill per quantity plus
-        # a last-nonzero lax.associative_scan for the packed operand — that
-        # custom-combiner scan is a compile-time catastrophe on the TPU
-        # toolchain; see tools/compile_probe.py.)
-        mark = jnp.full((cap + 1,), 0, jnp.int32).at[pos].max(
-            jnp.arange(n, dtype=jnp.int32)
-        )
-        ei = jax.lax.cummax(mark[:cap])
-        mrank = mid_base[ei] + (t - excl[ei])
-        mrank = jnp.clip(mrank, 0, max(mid_rows.shape[0] - 1, 0))
-        # every slot's source row has npairs > 0, hence is an edge row
-        ok = t < total
-        if pack_den:
-            a_pk = packed[ei]
-            b_pk = mid_pk[mrank]
-            a_id = a_pk >> pb
-            b_id = b_pk >> pb
-            a_first = (a_pk & ((1 << pb) - 1)) > (
-                b_pk & ((1 << pb) - 1)
-            )
-        else:
-            a_id, a_loc = rid[ei], loc[ei]
-            b_id, b_loc = mid_rid[mrank], mid_loc[mrank]
-            a_first = a_loc > b_loc  # strict-greater loc leads (:65-71)
-        ok &= a_id != b_id  # self pairs skipped (src/KmerTable.scala:61-63)
-        fst = jnp.where(a_first, a_id, b_id)
-        snd = jnp.where(a_first, b_id, a_id)
-        if emit_key:
-            key = jnp.where(ok, ((fst << 16) | snd) ^ _SIGN, _I32_MAX)
-            return key, total
-        return fst, snd, ok, total
-
-    return _expand(edge_mask, cap)
-
-
-def expand_raw_pairs(
-    occ_sorted, geom, cap_head: int, cap_tail: int, pack_den: int = 0
-):
-    """Both edge classes' streams concatenated: (fst, snd, ok) of static
-    size cap_head + cap_tail, plus the exact per-class totals.  (The
-    single-device engine runs the classes as separate programs — see
-    ``candidate_pairs_stream``; this combined form is the sharded step's
-    building block, where per-device caps are mesh-divided.)"""
-    h_fst, h_snd, h_ok, h_total = _expand_class(
-        occ_sorted, geom, "head", cap_head, pack_den
-    )
-    t_fst, t_snd, t_ok, t_total = _expand_class(
-        occ_sorted, geom, "tail", cap_tail, pack_den
-    )
-    fst = jnp.concatenate([h_fst, t_fst])
-    snd = jnp.concatenate([h_snd, t_snd])
-    ok = jnp.concatenate([h_ok, t_ok])
-    return fst, snd, ok, h_total, t_total
-
-
-def expand_raw_keys(
-    occ_sorted, geom, cap_head: int, cap_tail: int, pack_den: int = 0
-):
-    """Both edge classes' streams as ONE sign-flipped packed-key array
-    [cap_head + cap_tail] (invalid slots _I32_MAX) plus the exact class
-    totals — the single-sort aggregation operand for the packed 16-bit-id
-    regime (the sharded pairs step's round-5 building block)."""
-    key_h, h_total = _expand_class(
-        occ_sorted, geom, "head", cap_head, pack_den, emit_key=True
-    )
-    key_t, t_total = _expand_class(
-        occ_sorted, geom, "tail", cap_tail, pack_den, emit_key=True
-    )
-    return jnp.concatenate([key_h, key_t]), h_total, t_total
-
-
 def aggregate_pairs(fst, snd, weight, ok):
     """Sum weights per distinct ordered pair via two stable 1-key sorts
     (radix-style: sort by snd, then by fst with the invalid bit packed into

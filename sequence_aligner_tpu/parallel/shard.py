@@ -240,9 +240,7 @@ def make_sharded_plan_step(
     )
 
     def step(bases, lengths, ids):
-        from sequence_aligner_tpu.ops.pairgen import (
-            _compact_indices as ci, _run_bounds,
-        )
+        from sequence_aligner_tpu.ops.pairgen import _seg_mid_counts
 
         occ = kmer_scan(bases, lengths, ids, s.kmer_size)
         tgt = (occ["hash"].astype(jnp.uint32) % jnp.uint32(n_dev)).astype(jnp.int32)
@@ -264,12 +262,7 @@ def make_sharded_plan_step(
         is_head = valid & (loc <= geom["head_edge"])
         is_tail = valid & (loc >= geom["tail_edge"])
         is_mid = valid & (geom["mid_lead"] <= loc) & (loc <= geom["mid_tail"])
-        _, mid_prefix, mid_total = ci(is_mid, cap=1)
-        mid_pref_full = jnp.concatenate([mid_prefix, mid_total[None]])
-        seg_l, seg_r = _run_bounds(key)
-        mid_cnt = (mid_pref_full[seg_r] - mid_pref_full[seg_l]).astype(
-            jnp.float32
-        )
+        mid_cnt = _seg_mid_counts(key, is_mid).astype(jnp.float32)
         h_tot = jnp.sum(jnp.where(is_head, mid_cnt, 0.0))
         t_tot = jnp.sum(jnp.where(is_tail, mid_cnt, 0.0))
         return jnp.stack([h_tot, t_tot])[None, :]
