@@ -116,13 +116,14 @@ def plan(n_dev: int) -> dict:
         align_step_hbm_gb=round(align_mem / 2**30, 2),
         fits_16gb=bool(max(pairs_mem, align_mem) < 0.85 * HBM_BYTES),
         est_wall_s=dict(
-            # single-chip measured: 32k reads in ~8s end-to-end; pairgen +
-            # align scale ~linearly in events/pairs, all-to-alls ride ICI
+            # single-chip measured round 5: 32k reads in 3.7 s end-to-end;
+            # pairgen + align scale ~linearly in events/pairs,
+            # all-to-alls ride ICI
             perfect_scaling=round(
-                8.0 * (N_READS / 32_000) / n_dev, 1
+                3.7 * (N_READS / 32_000) / n_dev, 1
             ),
             with_70pct_efficiency=round(
-                8.0 * (N_READS / 32_000) / n_dev / 0.7, 1
+                3.7 * (N_READS / 32_000) / n_dev / 0.7, 1
             ),
         ),
     )
