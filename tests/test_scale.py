@@ -30,16 +30,21 @@ def test_sharded_scale_sim():
     s = AlignSettings.amos_parity()
     mesh = make_mesh(8)
     n_dev = 8
-    # capacities sized O(N / n_dev): the point of hash-prefix sharding
+    # capacities sized O(N / n_dev): the point of hash-prefix sharding.
+    # Densities from the 1M-sim trace (tools/engine_pairgen_trace.py):
+    # ~100 raw events/read/class, local distinct partials ~4x reads/dev,
+    # candidates ~4.1x reads globally — undersizing here is CORRECT but
+    # each drop-retry re-runs the full pairs program (hours at 1M on the
+    # 2-core CPU mesh), so start at the measured scale
     kmers_per_dev = n_reads * 89 // n_dev
     caps = dict(
         # per-DESTINATION route bin: ~kmers_per_dev / n_dev expected
         cap_route=max(1024, kmers_per_dev // n_dev * 2),
         cap_head=4 * kmers_per_dev,
         cap_tail=4 * kmers_per_dev,
-        cap_agg=n_reads // 2,
-        cap_pair_route=n_reads // 4,
-        cap_out=n_reads // 2,
+        cap_agg=4 * n_reads,
+        cap_pair_route=n_reads,
+        cap_out=n_reads,
     )
     recs = sharded_overlap(seqs, s, mesh, caps=caps)
     assert len(recs) > n_reads  # ~8x coverage: several overlaps per read
